@@ -1,0 +1,256 @@
+"""NTT context: per-level packed modular constants for the TPU ops.
+
+The reference pre-packages per-(device, level, part) argument bundles so the
+hot path never recomputes constants (reference: src/liberate/ntt/
+ntt_context.py:138-527). Here the same role is played by ``LevelPack``
+pytrees of packed uint32-limb jnp arrays, built lazily per
+(level, mult_type) and per key-switching part. The packs are passed as
+arguments into jitted pipelines (not closed over), so XLA treats them as
+runtime inputs, and they shard along the channel axis like the data.
+
+Channel layout: the global prime order is q = [scales..., base, specials...]
+(reference: ckks_context.py:237-260). At level l the alive channels are the
+contiguous suffix q[l:]; mult_type -1 excludes the trailing special primes,
+-2 includes them. Montgomery-form constants that the reference materializes
+with device kernels (e.g. the psi banks, entered into Montgomery form at
+init — reference: ntt_context.py:115-130) are reproduced here with the
+golden model so the representatives are bit-identical.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import golden, u64
+from .rns_partition import RnsPartition
+
+
+class LevelPack(NamedTuple):
+    """Per-channel modular constants for one (level, mult_type) layout."""
+    ql: jnp.ndarray          # [C] uint32, low 31 bits of q
+    qh: jnp.ndarray          # [C] uint32, bits 31.. of q
+    kl: jnp.ndarray          # [C] uint32, low 31 bits of k = -q^{-1} mod R
+    kh: jnp.ndarray          # [C] uint32
+    q2: jnp.ndarray          # [2, C] packed 2q
+    Rs: jnp.ndarray          # [2, C] packed R^2 mod q
+    Rs_scale: jnp.ndarray    # [2, C] packed R^2 * scale mod q
+    Ninv: jnp.ndarray        # [2, C] packed N^{-1} R mod q
+    psi: Optional[tuple]     # per-stage fwd twiddles, tuple of [2, C, m]
+    ipsi: Optional[tuple]    # per-stage inv twiddles, tuple of [2, C, h]
+
+
+class PartPlan(NamedTuple):
+    """Precomputed tables for one gadget part of the hybrid key switch.
+
+    Mirrors the Y/L/L_enter divided-difference tables of the reference
+    (reference: ntt_context.py:315-412).
+    """
+    part_id: int
+    prime_idx: tuple         # global prime indices of the (alive) part
+    local_start: int         # channel offset within the level's layout
+    alpha: int
+    pack: LevelPack          # pack restricted to the part channels
+    # Basis conversion scalars. Y_scalar[i] applies on channel prime_idx[i+1];
+    # L_scalar[i] applies on channels prime_idx[i+2:]; L_enter[i] covers the
+    # full level-0 with-special layout (slice by level offset at use).
+    Y_scalar: Optional[jnp.ndarray]       # [2, alpha-1]
+    L_scalar: tuple                       # tuple of [2, len] packed
+    L_enter: Optional[tuple]              # tuple of [2, C0_sp] packed
+
+
+def _pack_ints(vals) -> np.ndarray:
+    """List of Python ints -> packed uint32 [2, len] (numpy)."""
+    return u64.from_int64_np(np.array([v & ((1 << 64) - 1) for v in vals],
+                                      dtype=np.uint64).astype(np.int64))
+
+
+class NttContext:
+    def __init__(self, ctx, num_devices: int = 1, verbose: bool = False):
+        self.ctx = ctx
+        self.num_devices = num_devices
+
+        self.num_ordinary_primes = ctx.num_scales + 1
+        self.num_special_primes = ctx.num_special_primes
+        self.num_levels = ctx.num_scales + 1
+        self.total_channels = len(ctx.q)
+
+        self.p = RnsPartition(self.num_ordinary_primes,
+                              self.num_special_primes, num_devices)
+
+        self._build_master_tables()
+        self._level_packs = {}
+        self._part_plans = {}
+
+        # Per-level channel-slice starts (into level-0 key layout).
+        self.starts = list(range(self.num_levels))
+
+    # -- master numpy tables ---------------------------------------------------
+
+    def _build_master_tables(self):
+        ctx = self.ctx
+        C = self.total_channels
+        N = ctx.N
+
+        self.q_list = list(ctx.q)
+        self._ql = np.array(ctx.q_lower_bits, dtype=np.uint32)
+        self._qh = np.array(ctx.q_higher_bits, dtype=np.uint32)
+        self._kl = np.array(ctx.k_lower_bits, dtype=np.uint32)
+        self._kh = np.array(ctx.k_higher_bits, dtype=np.uint32)
+        self._q2 = _pack_ints(ctx.q_double)
+        self._Rs = _pack_ints(ctx.R_square)
+
+        scale = 2 ** ctx.scale_bits
+        self._Rs_scale = _pack_ints(
+            [(Rs * scale) % q for Rs, q in zip(ctx.R_square, ctx.q)]
+        )
+        self._Ninv = _pack_ints(
+            [(ninv * ctx.R) % q for ninv, q in zip(ctx.N_inv, ctx.q)]
+        )
+
+        # psi banks in Montgomery form with the reference's exact lazy
+        # representatives: produced by the golden REDC, like the reference's
+        # device-side mont_enter at init (reference: ntt_context.py:115-130).
+        psi = np.array(ctx.psi, dtype=np.int64)       # [C, N]
+        ipsi = np.array(ctx.psi_inv, dtype=np.int64)  # [C, N]
+        Rs_col = np.array(ctx.R_square, dtype=np.int64)[:, None]
+        qlc = self._ql.astype(np.int64)[:, None]
+        qhc = self._qh.astype(np.int64)[:, None]
+        klc = self._kl.astype(np.int64)[:, None]
+        khc = self._kh.astype(np.int64)[:, None]
+        psi_m = golden.mont_mult(psi, Rs_col, qlc, qhc, klc, khc)
+        ipsi_m = golden.mont_mult(ipsi, Rs_col, qlc, qhc, klc, khc)
+        self._psi_mont = u64.from_int64_np(psi_m)     # [2, C, N] uint32
+        self._ipsi_mont = u64.from_int64_np(ipsi_m)
+        self.logN = ctx.logN
+
+    # -- channel ranges ----------------------------------------------------------
+
+    def channel_range(self, level: int, mult_type: int):
+        """(start, stop) slice of the global prime order for this layout."""
+        start = level
+        stop = (self.total_channels if mult_type == -2
+                else self.num_ordinary_primes)
+        return start, stop
+
+    def num_channels(self, level: int, mult_type: int) -> int:
+        start, stop = self.channel_range(level, mult_type)
+        return stop - start
+
+    def q_ints(self, level: int, mult_type: int):
+        start, stop = self.channel_range(level, mult_type)
+        return self.q_list[start:stop]
+
+    # -- pack construction ---------------------------------------------------------
+
+    def _make_pack(self, idx, with_psi=True) -> LevelPack:
+        """Build a LevelPack over an arbitrary channel index list/slice."""
+        idx = np.asarray(idx)
+        N = self.ctx.N
+        logN = self.logN
+        psi = ipsi = None
+        if with_psi:
+            psi_stages = []
+            ipsi_stages = []
+            for logm in range(logN):
+                m = 1 << logm
+                psi_stages.append(jnp.asarray(self._psi_mont[:, idx, m:2 * m]))
+            # Indexed as ipsi[logm - 1] (h = 2^(logm-1)) by ops.intt.
+            for logm in range(1, logN + 1):
+                h = 1 << (logm - 1)
+                ipsi_stages.append(jnp.asarray(self._ipsi_mont[:, idx, h:2 * h]))
+            psi = tuple(psi_stages)
+            ipsi = tuple(ipsi_stages)
+        return LevelPack(
+            ql=jnp.asarray(self._ql[idx]),
+            qh=jnp.asarray(self._qh[idx]),
+            kl=jnp.asarray(self._kl[idx]),
+            kh=jnp.asarray(self._kh[idx]),
+            q2=jnp.asarray(self._q2[:, idx]),
+            Rs=jnp.asarray(self._Rs[:, idx]),
+            Rs_scale=jnp.asarray(self._Rs_scale[:, idx]),
+            Ninv=jnp.asarray(self._Ninv[:, idx]),
+            psi=psi,
+            ipsi=ipsi,
+        )
+
+    def level_pack(self, level: int = 0, mult_type: int = -1) -> LevelPack:
+        key = (level, mult_type)
+        if key not in self._level_packs:
+            start, stop = self.channel_range(level, mult_type)
+            self._level_packs[key] = self._make_pack(np.arange(start, stop))
+        return self._level_packs[key]
+
+    # -- key-switching part plans -----------------------------------------------
+
+    def parts(self, level: int):
+        """Gadget parts at this level (ordinary primes only; the single-device
+        partition view of the plan — placement over a mesh happens in
+        liberate_tpu.parallel)."""
+        if level not in self._part_plans:
+            self._part_plans[level] = self._build_parts(level)
+        return self._part_plans[level]
+
+    def _build_parts(self, level: int):
+        ctx = self.ctx
+        R = ctx.R
+        plans = []
+        # Parts partition the alive ordinary primes [level, num_ordinary).
+        # Global partition j covers primes [j*alpha, (j+1)*alpha) plus the
+        # base-prime partition; at a level the lowest partition may be
+        # partial (reference: rns_partition.py:93-117).
+        alpha0 = self.num_special_primes
+        nscale = self.num_ordinary_primes - 1
+        num_partitions = -(-nscale // alpha0)
+        bounds = [0] + [min((j + 1) * alpha0, nscale)
+                        for j in range(num_partitions)] + [nscale + 1]
+        local = 0
+        part_id = 0
+        for j in range(len(bounds) - 1):
+            lo, hi = max(bounds[j], level), bounds[j + 1]
+            if hi <= lo:
+                continue
+            prime_idx = tuple(range(lo, hi))
+            alpha = len(prime_idx)
+            m = [ctx.q[i] for i in prime_idx]
+
+            # Divided-difference tables (reference: ntt_context.py:328-347).
+            L = [m[0]]
+            for i in range(1, alpha - 1):
+                L.append(L[-1] * m[i])
+            Y_scalar, L_scalar, L_enter = None, (), None
+            if alpha > 1:
+                ys = []
+                for i in range(alpha - 1):
+                    L_inv = pow(L[i], -1, m[i + 1])
+                    ys.append((L_inv * R) % m[i + 1])
+                Y_scalar = jnp.asarray(_pack_ints(ys))
+                ls = []
+                for i in range(alpha - 2):
+                    ls.append(jnp.asarray(_pack_ints(
+                        [(L[i] * R) % m[jj] for jj in range(i + 2, alpha)]
+                    )))
+                L_scalar = tuple(ls)
+                # L_enter over the full level-0 with-special layout
+                # (reference: ntt_context.py:349-363).
+                le = []
+                for i in range(alpha - 1):
+                    le.append(jnp.asarray(_pack_ints(
+                        [(L[i] * Rs) % q
+                         for q, Rs in zip(ctx.q, ctx.R_square)]
+                    )))
+                L_enter = tuple(le)
+
+            plans.append(PartPlan(
+                part_id=part_id,
+                prime_idx=prime_idx,
+                local_start=local,
+                alpha=alpha,
+                pack=self._make_pack(np.array(prime_idx)),
+                Y_scalar=Y_scalar,
+                L_scalar=L_scalar,
+                L_enter=L_enter,
+            ))
+            local += alpha
+            part_id += 1
+        return plans
