@@ -140,6 +140,17 @@ def lt_signed(a, b):
     return (ahs < bhs) | ((ahi == bhi) & (alo < blo))
 
 
+def lt_unsigned(a, b):
+    """Unsigned uint64 comparison a < b on limb pairs."""
+    alo, ahi = a
+    blo, bhi = b
+    return (ahi < bhi) | ((ahi == bhi) & (alo < blo))
+
+
+def eq(a, b):
+    return (a[0] == b[0]) & (a[1] == b[1])
+
+
 def select(mask, a, b):
     return (jnp.where(mask, a[0], b[0]), jnp.where(mask, a[1], b[1]))
 
