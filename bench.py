@@ -1,0 +1,78 @@
+"""Benchmark: ct-ct multiply + relinearize + rescale throughput.
+
+The headline benchmark from BASELINE.md: silver-preset (logN=15,
+2 special primes) ciphertext-ciphertext multiplication including
+relinearization (hybrid key switching) and rescale — the hot loop of any
+CKKS workload (reference: ckks_engine.py:1072-1151).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md), so vs_baseline is
+against an internal target of 10 mult/s (a single-A100 reference-stack
+ballpark for logN=15 from public CKKS GPU literature).
+"""
+
+import json
+import os
+import sys
+import time
+
+# Keep the benchmark shape manageable on whatever backend is present;
+# fall back to CPU if no accelerator is available.
+if "JAX_PLATFORMS" not in os.environ:
+    try:
+        import jax
+
+        jax.devices()
+    except Exception:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from liberate_tpu.fhe.engine import CkksEngine  # noqa: E402
+
+
+def main():
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    if on_tpu:
+        params = dict(logN=15, scale_bits=40, num_special_primes=2)
+    else:
+        # CPU smoke configuration: the emulated-u64 path is ~1000x slower
+        # than a real chip; keep the benchmark runnable everywhere.
+        params = dict(logN=12, scale_bits=40, num_scales=6,
+                      num_special_primes=2, is_secured=False)
+
+    eng = CkksEngine(seed=1, **params)
+    sk = eng.create_secret_key()
+    pk = eng.create_public_key(sk)
+    evk = eng.create_evk(sk)
+
+    m1 = eng.example(amin=-1, amax=1)
+    m2 = eng.example(amin=-1, amax=1)
+    ct1 = eng.encorypt(m1, pk)
+    ct2 = eng.encorypt(m2, pk)
+
+    # Warm up (jit compile).
+    out = eng.mult(ct1, ct2, evk)
+    jax.block_until_ready(out.data)
+
+    iters = 20 if on_tpu else 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = eng.mult(ct1, ct2, evk)
+    jax.block_until_ready(out.data)
+    dt = time.perf_counter() - t0
+
+    mult_per_s = iters / dt
+    baseline_target = 10.0  # mult/s, internal A100-reference target
+    print(json.dumps({
+        "metric": f"ckks_mult_relin_rescale_logN{params['logN']}",
+        "value": round(mult_per_s, 4),
+        "unit": "mult/s",
+        "vs_baseline": round(mult_per_s / baseline_target, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

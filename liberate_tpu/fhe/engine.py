@@ -1,0 +1,1509 @@
+"""The CKKS engine: the user-facing FHE API, TPU-native.
+
+Re-implements the full scheme-level logic of the reference engine
+(reference: src/liberate/fhe/ckks_engine.py) on top of this framework's
+packed uint32-limb polynomial ops (liberate_tpu.ntt.ops). The reference
+orchestrates per-device torch tensors with pinned-buffer copies; here every
+polynomial is ONE logical jnp array [2, C, N] (limb-major), compositions of
+modular ops are jitted per (level, op) so XLA fuses the whole limb dance,
+and multi-chip execution is a sharding annotation over the RNS channel axis
+(see liberate_tpu.parallel) instead of hand-rolled device loops.
+
+Level/layout convention (reference: ckks_context.py:237-260): the global
+prime order is q = [scale_0..scale_{L-1}, base, special_0..special_{k-1}].
+A ciphertext at level ``l`` holds the contiguous channel suffix q[l:] minus
+the special primes; keys hold the full level-0 with-special layout and are
+sliced by ``l`` (always a contiguous suffix slice — this is why the layout
+keeps the base prime between scales and specials).
+"""
+
+import functools
+import math
+import pickle
+from hashlib import sha256
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..csprng import Csprng
+from ..ntt import ops, u64
+from ..ntt.ntt_context import NttContext, LevelPack
+from .context.ckks_context import CkksContext
+from .data_struct import DataStruct, data_struct
+from .encdec import encdec
+from .presets import errors, types
+
+
+# ---------------------------------------------------------------------------
+# Jitted cores. Packs are passed as pytree arguments: jit specializes per
+# channel-count (= per level), which is this framework's answer to the
+# reference's per-level prepacked argument bundles
+# (reference: src/liberate/ntt/ntt_context.py:417-527).
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _sk_core(ternary, pack):
+    return ops.enter_ntt(ops.tile_unsigned(ternary, pack), pack)
+
+
+@jax.jit
+def _pk_core(e, a, sk, pack):
+    """pk0 = e - a*sk (all in NTT+Montgomery domain)."""
+    e_t = ops.enter_ntt(ops.tile_unsigned(e, pack), pack)
+    sa = ops.mont_mult(a, sk, pack)
+    return ops.mont_sub(e_t, sa, pack)
+
+
+@jax.jit
+def _encrypt_core(pt, dc, e0, e1, v, pk0, pk1, pack):
+    """ct = (v*pk0 + pt + e0, v*pk1 + e1) (reference: ckks_engine.py:418-480).
+
+    ``dc`` is the bias-guard DC-coefficient RNS remainder, packed [2, C]
+    (zeros when bias_guard is off; reference: ckks_engine.py:1520-1522).
+    """
+    e0_t = ops.tile_unsigned(e0, pack)
+    e1_t = ops.tile_unsigned(e1, pack)
+
+    pt_t = ops.tile_unsigned(pt, pack)
+    col = u64.add((pt_t[0, :, 0], pt_t[1, :, 0]), (dc[0], dc[1]))
+    pt_t = pt_t.at[0, :, 0].set(col[0]).at[1, :, 0].set(col[1])
+
+    # Signed multiply + canon: plaintext coefficients may exceed +-q (the
+    # scale^2 representation needs the full RNS range — reference encrypt
+    # docstring, ckks_engine.py:419-428); signed semantics reduce any int64
+    # correctly mod each channel prime.
+    pt_t = ops.mont_enter_scalar(pt_t, pack.Rs_scale, pack, signed=True)
+    pt_t = ops.canon_2q(ops.mont_redc_signed(pt_t, pack), pack)
+    pte0 = ops.mont_add(pt_t, e0_t, pack)
+
+    v_n = ops.enter_ntt(ops.tile_unsigned(v, pack), pack)
+    vpk0 = ops.intt_exit(ops.mont_mult(v_n, pk0, pack), pack)
+    vpk1 = ops.intt_exit(ops.mont_mult(v_n, pk1, pack), pack)
+
+    ct0 = ops.reduce_2q(ops.mont_add(vpk0, pte0, pack), pack)
+    ct1 = ops.reduce_2q(ops.mont_add(vpk1, e1_t, pack), pack)
+    return ct0, ct1
+
+
+@jax.jit
+def _decrypt_double_pt(ct0, ct1, sk, pack):
+    """pt = ct0 + ct1*sk (reference: ckks_engine.py:535-577)."""
+    a_n = ops.enter_ntt(ct1, pack)
+    sa = ops.intt_exit(ops.mont_mult(a_n, sk, pack), pack)
+    return ops.reduce_2q(ops.mont_add(ct0, sa, pack), pack)
+
+
+@jax.jit
+def _decrypt_triplet_pt(d0, d1, d2, sk, pack):
+    """pt = d0 + d1*sk + d2*sk^2 (reference: ckks_engine.py:482-533)."""
+    d0_p = ops.intt_exit_reduce(d0, pack)
+    d1_s = ops.intt_exit(ops.mont_mult(d1, sk, pack), pack)
+    s2 = ops.mont_mult(sk, sk, pack)
+    d2_s2 = ops.intt_exit(ops.mont_mult(d2, s2, pack), pack)
+    pt = ops.mont_add(d0_p, d1_s, pack)
+    pt = ops.mont_add(pt, d2_s2, pack)
+    return ops.reduce_2q(pt, pack)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _final_rescale(pt, base_pack, final_scalar, round_half, base_at):
+    """Fused final rescale of decryption (reference: ckks_engine.py:557-576).
+
+    Takes the base-prime channel and the scaler (rescale) channel and forms
+    round((base - scaler) / q_l) as a signed base-prime representative.
+    round_half: packed [2] — q_l // 2 for the exact-rounding correction.
+    """
+    base = pt[:, base_at:base_at + 1]
+    scaler = pt[:, 0:1]
+    scaled = ops.mont_sub(base, scaler, base_pack)
+    scaled = ops.mont_enter_scalar(scaled, final_scalar, base_pack)
+    scaled = ops.reduce_2q(scaled, base_pack)
+    scaled = ops.make_signed(scaled, base_pack)
+
+    rh = (round_half[0].reshape(1, 1), round_half[1].reshape(1, 1))
+    rounder = (~u64.lt_unsigned((scaler[0], scaler[1]), rh)
+               & ~u64.eq((scaler[0], scaler[1]), rh)).astype(jnp.uint32)
+    s = u64.add((scaled[0], scaled[1]), (rounder, jnp.zeros_like(rounder)))
+    return u64.pack(*s)
+
+
+@jax.jit
+def _add_core(a0, a1, b0, b1, pack):
+    c0 = ops.reduce_2q(ops.mont_add(a0, b0, pack), pack)
+    c1 = ops.reduce_2q(ops.mont_add(a1, b1, pack), pack)
+    return c0, c1
+
+
+@jax.jit
+def _sub_core(a0, a1, b0, b1, pack):
+    c0 = ops.reduce_2q(ops.mont_sub(a0, b0, pack), pack)
+    c1 = ops.reduce_2q(ops.mont_sub(a1, b1, pack), pack)
+    return c0, c1
+
+
+@jax.jit
+def _neg_core(d, pack):
+    return ops.reduce_2q(ops.neg(ops.reduce_2q(d, pack), pack), pack)
+
+
+@jax.jit
+def _rescale_core(d, rs, round_half, pack_next):
+    """Drop the rescale channel: (d - s) * q_l^{-1} with exact rounding
+    (reference: ckks_engine.py:967-1052). round_half=None disables rounding."""
+    s = d[:, 0:1]
+    body = d[:, 1:]
+    s_b = (jnp.broadcast_to(s[0], body[0].shape),
+           jnp.broadcast_to(s[1], body[1].shape))
+    diff = u64.pack(*u64.sub((body[0], body[1]), s_b))
+    out = ops.mont_enter_scalar(diff, rs, pack_next, signed=True)
+    if round_half is not None:
+        rh = (round_half[0].reshape(1, 1), round_half[1].reshape(1, 1))
+        gt = (~u64.lt_unsigned((s[0], s[1]), rh)
+              & ~u64.eq((s[0], s[1]), rh))
+        rounder = jnp.broadcast_to(gt.astype(jnp.uint32), out[0].shape)
+        out = u64.pack(*u64.add((out[0], out[1]),
+                                (rounder, jnp.zeros_like(rounder))))
+    return ops.reduce_2q(out, pack_next)
+
+
+@jax.jit
+def _cc_mult_core(x0, x1, y0, y1, pack):
+    """(d0, d1, d2) = (x0y0, x0y1+x1y0, x1y1) in the NTT domain
+    (reference: ckks_engine.py:1090-1101)."""
+    x0 = ops.enter_ntt(x0, pack)
+    x1 = ops.enter_ntt(x1, pack)
+    y0 = ops.enter_ntt(y0, pack)
+    y1 = ops.enter_ntt(y1, pack)
+    d0 = ops.mont_mult(x0, y0, pack)
+    d1 = ops.mont_add(ops.mont_mult(x0, y1, pack),
+                      ops.mont_mult(x1, y0, pack), pack)
+    d2 = ops.mont_mult(x1, y1, pack)
+    return d0, d1, d2
+
+
+@jax.jit
+def _square_core(x0, x1, pack):
+    x0 = ops.enter_ntt(x0, pack)
+    x1 = ops.enter_ntt(x1, pack)
+    d0 = ops.mont_mult(x0, x0, pack)
+    x0x1 = ops.mont_mult(x0, x1, pack)
+    d1 = ops.mont_add(x0x1, x0x1, pack)
+    d2 = ops.mont_mult(x1, x1, pack)
+    return d0, d1, d2
+
+
+@jax.jit
+def _relin_pre(d0, d1, d2, pack):
+    return (ops.intt_exit_reduce(d0, pack),
+            ops.intt_exit_reduce(d1, pack),
+            ops.intt_exit_reduce(d2, pack))
+
+
+@jax.jit
+def _relin_post(d0, d1, s0, s1, pack):
+    c0 = ops.reduce_2q(
+        u64.pack(*u64.add((d0[0], d0[1]), (s0[0], s0[1]))), pack)
+    c1 = ops.reduce_2q(
+        u64.pack(*u64.add((d1[0], d1[1]), (s1[0], s1[1]))), pack)
+    return c0, c1
+
+
+@jax.jit
+def _scalar_mult_core(d, mont, pack):
+    return ops.reduce_2q(ops.mont_enter_scalar(d, mont, pack), pack)
+
+
+@jax.jit
+def _add_dc_core(d, vals, pack):
+    col = u64.add((d[0, :, 0], d[1, :, 0]), (vals[0], vals[1]))
+    d = d.at[0, :, 0].set(col[0]).at[1, :, 0].set(col[1])
+    return ops.reduce_2q(d, pack)
+
+
+@jax.jit
+def _mc_mult_core(pt, d0, d1, pack):
+    pt_t = ops.enter_ntt(ops.tile_unsigned(pt, pack), pack)
+    x0 = ops.enter_ntt(d0, pack)
+    x1 = ops.enter_ntt(d1, pack)
+    n0 = ops.intt_exit_reduce(ops.mont_mult(pt_t, x0, pack), pack)
+    n1 = ops.intt_exit_reduce(ops.mont_mult(pt_t, x1, pack), pack)
+    return n0, n1
+
+
+@jax.jit
+def _mc_add_core(pt, d0, pack):
+    pt_t = ops.mont_enter_scale(ops.tile_unsigned(pt, pack), pack)
+    x0 = ops.mont_enter(d0, pack)
+    n0 = ops.mont_redc(ops.mont_add(pt_t, x0, pack), pack)
+    return ops.reduce_2q(n0, pack)
+
+
+@jax.jit
+def _rotate_sk_core(sk, gather, neg, pack):
+    """Coefficient-domain signed permutation of the secret key (Montgomery
+    form commutes with permutation; reference: ckks_engine.py:1161-1164).
+    Negatives are canonicalized back to [0, 2q) so the resulting key stays
+    on the fast unsigned Montgomery path."""
+    c = ops.intt(sk, pack)
+    r = ops.apply_signed_perm(c, gather, neg)
+    r = ops.canon_2q(r, pack)
+    return ops.ntt(r, pack)
+
+
+@jax.jit
+def _rotate_ct_core(d, gather, neg, pack):
+    r = ops.apply_signed_perm(d, gather, neg)
+    r = ops.make_unsigned(r, pack)
+    return ops.reduce_2q(r, pack)
+
+
+@jax.jit
+def _mp_decrypt_head(ct0, ct1, sk, pack):
+    a_n = ops.enter_ntt(ct1, pack)
+    sa = ops.intt_exit(ops.mont_mult(a_n, sk, pack), pack)
+    return ops.mont_add(ct0, sa, pack)
+
+
+@jax.jit
+def _mp_decrypt_partial(ct1, sk, pack):
+    a_n = ops.enter_ntt(ct1, pack)
+    return ops.intt_exit(ops.mont_mult(a_n, sk, pack), pack)
+
+
+_COMPILE_CACHE_SET = False
+
+
+def _enable_compile_cache():
+    """Persist XLA executables across processes: the per-level jit
+    specializations are expensive to build (especially the key switcher) and
+    fully deterministic, so cache them next to the parameter cache."""
+    global _COMPILE_CACHE_SET
+    if _COMPILE_CACHE_SET:
+        return
+    _COMPILE_CACHE_SET = True
+    try:
+        # CPU AOT cache entries are machine-feature-sensitive (reloading
+        # across hosts risks SIGILL); only persist accelerator executables.
+        if all(d.platform == "cpu" for d in jax.devices()):
+            return
+        from .cache.cache import ensure_cache
+        cache_dir = str(Path(ensure_cache()) / "xla")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
+class CkksEngine:
+    """The user-facing CKKS engine (reference: ckks_engine.py:22-2726).
+
+    All public methods mirror the reference API; DataStructs carry packed
+    uint32-limb jnp arrays instead of per-device torch tensors.
+    """
+
+    def __init__(self, devices=None, verbose: bool = False,
+                 bias_guard: bool = True, norm: str = "forward",
+                 seed=None, **ctx_params):
+        _enable_compile_cache()
+        self.bias_guard = bias_guard
+        self.norm = norm
+
+        from ..version import VERSION
+        self.version = VERSION
+
+        self.ctx = CkksContext(**ctx_params)
+        self.ntt = NttContext(self.ctx, verbose=verbose)
+
+        # The deepest usable level (reference: ckks_engine.py:52).
+        self.num_levels = self.ntt.num_levels - 1
+        self.num_slots = self.ctx.N // 2
+        self.num_ordinary = self.ntt.num_ordinary_primes
+        self.num_special = self.ntt.num_special_primes
+
+        rng_repeats = max(self.num_special, 2)
+        self.rng = Csprng(self.ctx.N, self.num_ordinary, rng_repeats,
+                          sigma=self.ctx.sigma, seed=seed)
+
+        self.int_scale = 2 ** self.ctx.scale_bits
+        self.scale = np.float64(self.int_scale)
+
+        self.hash = self.ctx.engine_hash()
+
+        self._make_adjustments_and_corrections()
+        self._make_mont_PR()
+        self._create_ksk_rescales()
+        self._create_rescale_scales()
+
+        self.galois_deltas = [2 ** i for i in range(self.ctx.logN - 1)]
+        self._switcher_cache = {}
+
+        self.mult_dispatch = {
+            (DataStruct, DataStruct): self.auto_cc_mult,
+            (list, DataStruct): self.mc_mult,
+            (np.ndarray, DataStruct): self.mc_mult,
+            (DataStruct, np.ndarray): self.cm_mult,
+            (DataStruct, list): self.cm_mult,
+            (float, DataStruct): self.scalar_mult,
+            (DataStruct, float): self.mult_scalar,
+            (int, DataStruct): self.int_scalar_mult,
+            (DataStruct, int): self.mult_int_scalar,
+        }
+        self.add_dispatch = {
+            (DataStruct, DataStruct): self.auto_cc_add,
+            (list, DataStruct): self.mc_add,
+            (np.ndarray, DataStruct): self.mc_add,
+            (DataStruct, np.ndarray): self.cm_add,
+            (DataStruct, list): self.cm_add,
+            (float, DataStruct): self.scalar_add,
+            (DataStruct, float): self.add_scalar,
+            (int, DataStruct): self.scalar_add,
+            (DataStruct, int): self.add_scalar,
+        }
+        self.sub_dispatch = {
+            (DataStruct, DataStruct): self.auto_cc_sub,
+            (list, DataStruct): self.mc_sub,
+            (np.ndarray, DataStruct): self.mc_sub,
+            (DataStruct, np.ndarray): self.cm_sub,
+            (DataStruct, list): self.cm_sub,
+            (float, DataStruct): self.scalar_sub,
+            (DataStruct, float): self.sub_scalar,
+            (int, DataStruct): self.scalar_sub,
+            (DataStruct, int): self.sub_scalar,
+        }
+
+    # -- precomputation -------------------------------------------------------
+
+    def _make_adjustments_and_corrections(self):
+        """Per-level deviation/correction factors and the final decryption
+        scalar q_l^{-1}*R mod base_prime (reference: ckks_engine.py:243-263)."""
+        ctx = self.ctx
+        self.alpha = [(self.scale / np.float64(q)) ** 2
+                      for q in ctx.q[:ctx.num_scales]]
+        self.deviations = [1.0]
+        for al in self.alpha:
+            self.deviations.append(self.deviations[-1] ** 2 * al)
+
+        # At level l the rescale channel is q[l] (single logical device).
+        self.final_q = [ctx.q[l] for l in range(self.num_levels)]
+        self.final_alpha = [(self.scale / np.float64(q)) for q in self.final_q]
+        self.corrections = [1 / (d * fa) for d, fa
+                            in zip(self.deviations, self.final_alpha)]
+
+        self.base_prime = ctx.q[self.num_ordinary - 1]
+        self.base_idx = self.num_ordinary - 1
+
+        self.final_scalar = []
+        self.round_halves = []
+        for q in self.final_q:
+            scalar = (pow(q, -1, self.base_prime) * ctx.R) % self.base_prime
+            self.final_scalar.append(jnp.asarray(_pack_scalar(scalar)))
+            self.round_halves.append(jnp.asarray(_pack_scalar(q // 2)[:, 0]))
+
+        # Single-channel pack of the base prime (the "-1 level" of the
+        # reference's wrappers).
+        self.base_pack = self.ntt._make_pack(np.array([self.base_idx]),
+                                             with_psi=False)
+
+    def _make_mont_PR(self):
+        """P*R mod q_i over the ordinary primes, for ksk generation
+        (reference: ckks_engine.py:229-241)."""
+        P = math.prod(self.ctx.q[-self.num_special:])
+        PR = P * self.ctx.R
+        vals = [PR % q for q in self.ctx.q[:self.num_ordinary]]
+        self.mont_PR = jnp.asarray(_pack_list(vals))
+
+    def _create_ksk_rescales(self):
+        """P_j^{-1}*R mod q_i tables for the special-prime mod-down
+        (reference: ckks_engine.py:183-216).
+
+        TPU layout decision: the mod-down keeps the FULL with-special channel
+        width through every iteration (static shapes, no slice/concat chains
+        — those trigger pathological XLA fusion duplication). Dead channels
+        are multiplied by the Montgomery identity scalar R (montmul(x, R) =
+        x), so PiRs[level][P_ind] is padded to full width with R.
+        """
+        ctx = self.ctx
+        R = ctx.R
+        P = ctx.q[-self.num_special:][::-1]
+        self.PiRs = []
+        self.enter_ord = []
+        for level in range(self.num_levels):
+            q_lvl = ctx.q[level:]
+            C_sp = len(q_lvl)
+            n_ord = C_sp - self.num_special
+            per_level = []
+            for P_ind, Pj in enumerate(P):
+                live = C_sp - P_ind - 1
+                vals = [(pow(Pj, -1, mi) * R) % mi for mi in q_lvl[:live]]
+                vals += [R % mi for mi in q_lvl[live:]]
+                per_level.append(jnp.asarray(_pack_list(vals)))
+            self.PiRs.append(per_level)
+            # "Enter Montgomery on ordinary rows only": x R^2 on ordinary,
+            # identity (x R) on special rows.
+            vals = [Rs for Rs in ctx.R_square[level:level + n_ord]]
+            vals += [R % mi for mi in q_lvl[n_ord:]]
+            self.enter_ord.append(jnp.asarray(_pack_list(vals)))
+
+    def _create_rescale_scales(self):
+        """q_l^{-1}*R mod q_i for the channels that survive the rescale at
+        each level (reference: ckks_engine.py:123-146)."""
+        ctx = self.ctx
+        self.rescale_scales = []
+        for level in range(self.num_levels):
+            m0 = ctx.q[level]
+            m = ctx.q[level + 1:self.num_ordinary]
+            vals = [(pow(m0, -1, mi) * ctx.R) % mi for mi in m]
+            self.rescale_scales.append(jnp.asarray(_pack_list(vals)))
+
+    # -- pack helpers ----------------------------------------------------------
+
+    def pack(self, level: int, mult_type: int = -1) -> LevelPack:
+        return self.ntt.level_pack(level, mult_type)
+
+    def _key_slice(self, key_data, level):
+        """Slice a level-0 key layout down to this level's channel suffix."""
+        return key_data[:, level:, :]
+
+    # -- example generation (reference: ckks_engine.py:269-296) -----------------
+
+    def absmax_error(self, x, y):
+        x = np.asarray(x)
+        y = np.asarray(y)
+        if np.iscomplexobj(x) and np.iscomplexobj(y):
+            return (np.abs(x.real - y.real).max()
+                    + np.abs(x.imag - y.imag).max() * 1j)
+        return np.abs(x - y).max()
+
+    def integral_bits_available(self):
+        max_bits = math.floor(math.log2(self.base_prime))
+        return max_bits - self.ctx.scale_bits
+
+    def example(self, amin=None, amax=None, decimal_places: int = 10):
+        if amin is None:
+            amin = -(2 ** self.integral_bits_available())
+        if amax is None:
+            amax = 2 ** self.integral_bits_available()
+        base = 10 ** decimal_places
+        a = np.random.randint(amin * base, amax * base, self.num_slots) / base
+        b = np.random.randint(amin * base, amax * base, self.num_slots) / base
+        return a + b * 1j
+
+    # -- encode / decode --------------------------------------------------------
+
+    def padding(self, m):
+        m = np.atleast_1d(np.asarray(m))
+        return np.pad(m, (0, self.num_slots - len(m)))
+
+    def encode(self, m, level: int = 0, padding=True) -> jnp.ndarray:
+        """Complex message -> packed plaintext polynomial [2, 1, N]."""
+        if padding:
+            m = self.padding(m)
+        encoded = encdec.encode(m, rng=self.rng, scale=self.scale,
+                                deviation=self.deviations[level],
+                                norm=self.norm)
+        return jnp.asarray(u64.from_int64_np(encoded[None, :]))
+
+    def decode(self, m, level=0, is_real: bool = False):
+        """Packed signed plaintext [2, 1, N] -> complex message (N/2 slots)."""
+        poly = u64.to_int64_np(np.asarray(m))[0]
+        decoded = encdec.decode(poly, scale=self.scale,
+                                correction=self.corrections[level],
+                                norm=self.norm)[:self.num_slots]
+        return decoded.real if is_real else decoded
+
+    # -- key generation ----------------------------------------------------------
+
+    def create_secret_key(self, include_special: bool = True) -> DataStruct:
+        """Uniform ternary secret in the NTT+Montgomery domain
+        (reference: ckks_engine.py:351-367)."""
+        ternary = self.rng.randint(amax=3, shift=-1, repeats=1)
+        mult_type = -2 if include_special else -1
+        sk = _sk_core(ternary, self.pack(0, mult_type))
+        return DataStruct(sk, include_special, True, True,
+                          types.origins["sk"], 0, self.hash)
+
+    def create_public_key(self, sk: DataStruct, include_special: bool = False,
+                          a=None, crs=None) -> DataStruct:
+        """pk = (e - a*s, a) (reference: ckks_engine.py:370-411)."""
+        if sk.origin != types.origins["sk"]:
+            raise errors.NotMatchType(origin=sk.origin, to=types.origins["sk"])
+        if include_special and not sk.include_special:
+            raise errors.SecretKeyNotIncludeSpecialPrime()
+        mult_type = -2 if include_special else -1
+        pack = self.pack(0, mult_type)
+
+        e = self.rng.discrete_gaussian(repeats=1)
+        if a is None:
+            a = crs
+        if a is None:
+            repeats = self.num_special if include_special else 0
+            q = self.ntt.q_ints(0, mult_type)
+            a = self.rng.randint(amax=q, repeats=repeats)
+
+        C = self.ntt.num_channels(0, mult_type)
+        sk_data = sk.data[:, :C, :]
+        pk0 = _pk_core(e, a, sk_data, pack)
+        return DataStruct((pk0, a), include_special, True, True,
+                          types.origins["pk"], 0, self.hash)
+
+    # -- encrypt / decrypt --------------------------------------------------------
+
+    def encrypt(self, pt, pk: DataStruct, level: int = 0) -> DataStruct:
+        if pk.origin != types.origins["pk"]:
+            raise errors.NotMatchType(origin=pk.origin, to=types.origins["pk"])
+        mult_type = -2 if pk.include_special else -1
+        pack = self.pack(level, mult_type)
+        C = self.ntt.num_channels(level, mult_type)
+
+        e0e1 = self.rng.discrete_gaussian(repeats=2)
+        e0, e1 = e0e1[:, 0:1], e0e1[:, 1:2]
+        v = self.rng.randint(amax=2, shift=0, repeats=1)
+
+        pk0 = self._key_slice(pk.data[0], level)
+        pk1 = self._key_slice(pk.data[1], level)
+
+        dc = jnp.zeros((2, C), dtype=jnp.uint32)
+        ct0, ct1 = _encrypt_core(pt, dc, e0, e1, v, pk0, pk1, pack)
+        return DataStruct((ct0, ct1), mult_type == -2, False, False,
+                          types.origins["ct"], level, self.hash)
+
+    def _decrypt_pt(self, ct: DataStruct, sk: DataStruct):
+        """Raw decryption to the plaintext RNS poly (no final rescale)."""
+        level = ct.level
+        pack = self.pack(level, -1)
+        C = self.ntt.num_channels(level, -1)
+        sk_data = sk.data[:, level:level + C, :]
+        if ct.origin == types.origins["ct"]:
+            if ct.ntt_state or ct.montgomery_state:
+                raise errors.NotMatchDataStructState(origin=ct.origin)
+            return _decrypt_double_pt(ct.data[0], ct.data[1], sk_data, pack)
+        if ct.origin == types.origins["ctt"]:
+            if not ct.ntt_state or not ct.montgomery_state:
+                raise errors.NotMatchDataStructState(origin=ct.origin)
+            return _decrypt_triplet_pt(ct.data[0], ct.data[1], ct.data[2],
+                                       sk_data, pack)
+        raise errors.NotMatchType(origin=ct.origin, to="ct or ctt")
+
+    def _final_rescale_signed(self, pt, level, final_round=True):
+        base_at = self.num_ordinary - 1 - level
+        scaled = _final_rescale(pt, self.base_pack, self.final_scalar[level],
+                                self.round_halves[level] if final_round
+                                else jnp.asarray(
+                                    _pack_scalar((1 << 63) - 1)[:, 0]),
+                                base_at)
+        return scaled
+
+    def decrypt(self, ct: DataStruct, sk: DataStruct, final_round=True):
+        """Decrypt to the signed base-prime plaintext poly [2, 1, N]
+        (reference: ckks_engine.py:579-595)."""
+        if sk.origin != types.origins["sk"]:
+            raise errors.NotMatchType(origin=sk.origin, to=types.origins["sk"])
+        if not sk.ntt_state or not sk.montgomery_state:
+            raise errors.NotMatchDataStructState(origin=sk.origin)
+        pt = self._decrypt_pt(ct, sk)
+        return self._final_rescale_signed(pt, ct.level, final_round)
+
+    # -- fused encode+encrypt / decrypt+decode (reference: :1472-1688) -----------
+
+    def encodecrypt(self, m, pk: DataStruct, level: int = 0,
+                    padding=True) -> DataStruct:
+        if pk.origin != types.origins["pk"]:
+            raise errors.NotMatchType(origin=pk.origin, to=types.origins["pk"])
+        if padding:
+            m = self.padding(m)
+        mult_type = -2 if pk.include_special else -1
+        pack = self.pack(level, mult_type)
+        C = self.ntt.num_channels(level, mult_type)
+        q_lvl = self.ntt.q_ints(level, mult_type)
+
+        pt = encdec.encode(m, rng=self.rng, scale=self.scale,
+                           deviation=self.deviations[level], norm=self.norm,
+                           return_without_scaling=self.bias_guard)
+        dc = jnp.zeros((2, C), dtype=jnp.uint32)
+        if self.bias_guard:
+            # Split the integral DC part into RNS to dodge single-channel
+            # overflow (reference: ckks_engine.py:1485-1499).
+            dc_integral = float(np.floor(pt[0]))
+            pt = pt.copy()
+            pt[0] -= dc_integral
+            dc_scale = int(dc_integral) * self.int_scale
+            dc = jnp.asarray(_pack_list([dc_scale % qi for qi in q_lvl]))
+            pt = self.rng.randround(pt * self.scale)
+        pt = jnp.asarray(u64.from_int64_np(pt[None, :]))
+
+        e0e1 = self.rng.discrete_gaussian(repeats=2)
+        e0, e1 = e0e1[:, 0:1], e0e1[:, 1:2]
+        v = self.rng.randint(amax=2, shift=0, repeats=1)
+        pk0 = self._key_slice(pk.data[0], level)
+        pk1 = self._key_slice(pk.data[1], level)
+
+        ct0, ct1 = _encrypt_core(pt, dc, e0, e1, v, pk0, pk1, pack)
+        return DataStruct((ct0, ct1), mult_type == -2, False, False,
+                          types.origins["ct"], level, self.hash)
+
+    def decryptcode(self, ct: DataStruct, sk: DataStruct, is_real=False,
+                    final_round=True):
+        if not sk.ntt_state or not sk.montgomery_state:
+            raise errors.NotMatchDataStructState(origin=sk.origin)
+        level = ct.level
+        pt = self._decrypt_pt(ct, sk)
+        C = pt.shape[1]
+        base_at = self.num_ordinary - 1 - level
+
+        dc = 0
+        if (C >= 3) and self.bias_guard:
+            # 3-prime CRT reconstruction of the DC coefficient
+            # (reference: ckks_engine.py:1616-1646).
+            pt_np = u64.to_int64_np(np.asarray(pt))
+            dc0 = int(pt_np[base_at, 0])
+            dc1 = int(pt_np[0, 0])
+            dc2 = int(pt_np[1, 0])
+            pt = pt.at[:, base_at, 0].set(0).at[:, 0, 0].set(0)
+
+            q_lvl = self.ntt.q_ints(level, -1)
+            q0, q1, q2 = q_lvl[base_at], q_lvl[0], q_lvl[1]
+            Q = q0 * q1 * q2
+            Q0, Q1, Q2 = q1 * q2, q0 * q2, q0 * q1
+            dc_crt = (dc0 * pow(Q0, -1, q0) * Q0
+                      + dc1 * pow(Q1, -1, q1) * Q1
+                      + dc2 * pow(Q2, -1, q2) * Q2) % Q
+            if dc_crt > Q // 2:
+                dc_crt -= Q
+            dc = (dc_crt + (q1 - 1)) // q1
+
+        scaled = self._final_rescale_signed(pt, level, final_round)
+
+        correction = self.corrections[level]
+        poly = u64.to_int64_np(np.asarray(scaled))[0]
+        decoded = encdec.decode(poly, scale=self.scale, correction=correction,
+                                norm=self.norm,
+                                return_without_scaling=self.bias_guard)
+        decoded = decoded[:self.num_slots]
+        if self.bias_guard:
+            decoded = decoded / self.scale * correction
+            decoded = decoded + dc / self.scale * correction
+        return decoded.real if is_real else decoded
+
+    # Shortcuts (reference: ckks_engine.py:1684-1688).
+    def encorypt(self, m, pk, level: int = 0, padding=True):
+        return self.encodecrypt(m, pk, level=level, padding=padding)
+
+    def decrode(self, ct, sk, is_real=False, final_round=True):
+        return self.decryptcode(ct, sk, is_real=is_real,
+                                final_round=final_round)
+
+    # -- add / sub (reference: ckks_engine.py:1268-1405) -------------------------
+
+    def cc_add_double(self, a: DataStruct, b: DataStruct) -> DataStruct:
+        if a.ntt_state or a.montgomery_state:
+            raise errors.NotMatchDataStructState(origin=a.origin)
+        pack = self.pack(a.level, -1)
+        c0, c1 = _add_core(a.data[0], a.data[1], b.data[0], b.data[1], pack)
+        return DataStruct((c0, c1), False, False, False,
+                          types.origins["ct"], a.level, self.hash)
+
+    def cc_add_triplet(self, a: DataStruct, b: DataStruct) -> DataStruct:
+        pack = self.pack(a.level, -1)
+        c0, c1 = _add_core(a.data[0], a.data[1], b.data[0], b.data[1], pack)
+        c2 = ops.reduce_2q(ops.mont_add(a.data[2], b.data[2], pack), pack)
+        return DataStruct((c0, c1, c2), False, True, True,
+                          types.origins["ctt"], a.level, self.hash)
+
+    def cc_add(self, a: DataStruct, b: DataStruct) -> DataStruct:
+        if a.origin == types.origins["ct"] and b.origin == types.origins["ct"]:
+            return self.cc_add_double(a, b)
+        if (a.origin == types.origins["ctt"]
+                and b.origin == types.origins["ctt"]):
+            return self.cc_add_triplet(a, b)
+        raise errors.DifferentTypeError(a=a.origin, b=b.origin)
+
+    def cc_sub_double(self, a: DataStruct, b: DataStruct) -> DataStruct:
+        if a.ntt_state or a.montgomery_state:
+            raise errors.NotMatchDataStructState(origin=a.origin)
+        pack = self.pack(a.level, -1)
+        c0, c1 = _sub_core(a.data[0], a.data[1], b.data[0], b.data[1], pack)
+        return DataStruct((c0, c1), False, False, False,
+                          types.origins["ct"], a.level, self.hash)
+
+    def cc_sub_triplet(self, a: DataStruct, b: DataStruct) -> DataStruct:
+        pack = self.pack(a.level, -1)
+        c0, c1 = _sub_core(a.data[0], a.data[1], b.data[0], b.data[1], pack)
+        c2 = ops.reduce_2q(ops.mont_sub(a.data[2], b.data[2], pack), pack)
+        return DataStruct((c0, c1, c2), False, True, True,
+                          types.origins["ctt"], a.level, self.hash)
+
+    def cc_sub(self, a: DataStruct, b: DataStruct) -> DataStruct:
+        if a.origin != b.origin:
+            raise errors.DifferentTypeError(a=a.origin, b=b.origin)
+        if a.origin == types.origins["ct"]:
+            return self.cc_sub_double(a, b)
+        if a.origin == types.origins["ctt"]:
+            return self.cc_sub_triplet(a, b)
+        raise errors.NotMatchType(origin=a.origin, to="ct or ctt")
+
+    cc_subtract = cc_sub
+
+    # -- key switching (reference: ckks_engine.py:601-961) ------------------------
+
+    def create_key_switching_key(self, sk_from: DataStruct, sk_to: DataStruct,
+                                 a=None) -> DataStruct:
+        """Hybrid gadget-decomposed ksk: one public-key pair per partition,
+        with P*sk_from added on that partition's channel block
+        (reference: ckks_engine.py:601-652)."""
+        if (sk_from.origin != types.origins["sk"]
+                or sk_to.origin != types.origins["sk"]):
+            raise errors.NotMatchType(origin="not a secret key",
+                                      to=types.origins["sk"])
+        if not sk_from.ntt_state or not sk_from.montgomery_state:
+            raise errors.NotMatchDataStructState(origin=sk_from.origin)
+
+        pack_ord = self.pack(0, -1)
+        n_ord = self.num_ordinary
+        # Signed: a rotated sk_from may hold wrapped-negative coefficients.
+        Psk = ops.mont_enter_scalar(sk_from.data[:, :n_ord], self.mont_PR,
+                                    pack_ord, signed=True)
+
+        parts = self.ntt.parts(0)
+        ksk = []
+        for part in parts:
+            crs = a[part.part_id] if a is not None else None
+            pk = self.create_public_key(sk_to, include_special=True, a=crs)
+            lo, hi = part.prime_idx[0], part.prime_idx[-1] + 1
+            upd = ops.mont_add(pk.data[0][:, lo:hi], Psk[:, lo:hi], part.pack)
+            pk0 = pk.data[0].at[:, lo:hi].set(upd)
+            pk = pk._replace(
+                data=(pk0, pk.data[1]),
+                origin=f"key switch key part index {part.part_id}")
+            ksk.append(pk)
+
+        return DataStruct(ksk, True, True, True,
+                          types.origins["ksk"], 0, self.hash)
+
+    def _switcher_fn(self, level: int, exit_ntt: bool):
+        """Build (and cache) the jitted key-switch core for one level.
+
+        Fuses the reference's 7-step multi-device orchestration
+        (reference: ckks_engine.py:746-904) into one jitted program: basis
+        extension per gadget part, NTT, ksk multiply, cross-part
+        accumulation, and the special-prime mod-down. On a sharded mesh the
+        per-part accumulation becomes a psum (see liberate_tpu.parallel).
+        """
+        key = (level, exit_ntt)
+        if key in self._switcher_cache:
+            return self._switcher_cache[key]
+
+        parts_meta = tuple((p.local_start, p.alpha)
+                           for p in self.ntt.parts(level))
+        n_sp = self.num_special
+        n_ord = self.ntt.num_channels(level, -1)
+        C_sp = self.ntt.num_channels(level, -2)
+        lvl = level
+
+        def pre_extend(a, start, alpha, part_pack, plan):
+            """Divided-difference state (reference: ckks_engine.py:654-705)."""
+            a_part = a[:, start:start + alpha]
+            if exit_ntt:
+                a_part = ops.intt_exit_reduce(a_part, part_pack)
+            Y_scalar, L_scalar, _ = plan
+            state = [a_part[:, 0:1]] * alpha
+            for i in range(alpha - 1):
+                row = a_part[:, i + 1:i + 2]
+                diff = u64.sub((row[0], row[1]),
+                               (state[i + 1][0], state[i + 1][1]))
+                Y = u64.pack(*diff)
+                ch_pack = ops.pack_slice(part_pack, i + 1, i + 2)
+                Y = ops.mont_enter_scalar(Y, Y_scalar[:, i:i + 1], ch_pack,
+                                          signed=True)
+                state[i + 1] = Y
+                if i + 2 < alpha:
+                    tail_pack = ops.pack_slice(part_pack, i + 2, alpha)
+                    Yt = jnp.broadcast_to(Y, (2, alpha - i - 2, Y.shape[2]))
+                    new = ops.mont_enter_scalar(Yt, L_scalar[i], tail_pack,
+                                                signed=True)
+                    for j in range(i + 2, alpha):
+                        srow = new[:, j - i - 2:j - i - 1]
+                        s = u64.add((state[j][0], state[j][1]),
+                                    (srow[0], srow[1]))
+                        state[j] = u64.pack(*s)
+            return state
+
+        def extend(state, plan, pack_sp):
+            """Basis-extend a part's state onto the full with-special layout
+            (reference: ckks_engine.py:707-743)."""
+            _, _, L_enter = plan
+            N = state[0].shape[2]
+            ext = jnp.broadcast_to(state[0], (2, C_sp, N))
+            ext = ops.mont_enter(ext, pack_sp, signed=True)
+            for i in range(len(state) - 1):
+                Y = jnp.broadcast_to(state[i + 1], (2, C_sp, N))
+                le = L_enter[i][:, lvl:lvl + C_sp]
+                Y = ops.mont_enter_scalar(Y, le, pack_sp, signed=True)
+                ext = ops.mont_add(ext, Y, pack_sp)
+            return ext
+
+        def mod_down(d, pack_sp, pack_ord, PiRs, enter_ord):
+            """Divide by P = prod(special primes), one special prime at a
+            time (reference: ckks_engine.py:846-901). Invariant: ordinary
+            rows ride in Montgomery form, special rows in plain form, so the
+            single PiR multiply advances both. Full channel width is kept
+            throughout (dead rows multiply by the Montgomery identity) —
+            static shapes, no slice/concat chains.
+
+            The optimization_barrier between iterations is load-bearing:
+            each iteration consumes ``d`` twice (the dropped channel's tile
+            AND the full array), and XLA's fusion otherwise duplicates the
+            whole upstream chain into both consumers — exponential compile
+            time in the number of special primes."""
+            d = ops.mont_enter_scalar(d, enter_ord, pack_sp, signed=True)
+            for P_ind in range(n_sp):
+                d = jax.lax.optimization_barrier(d)
+                cur = C_sp - P_ind
+                tile = jnp.broadcast_to(d[:, cur - 1:cur],
+                                        (2, C_sp, d.shape[2]))
+                tile = ops.mont_enter_scalar(tile, enter_ord, pack_sp,
+                                             signed=True)
+                d = ops.mont_sub(d, tile, pack_sp)
+                d = ops.mont_enter_scalar(d, PiRs[P_ind], pack_sp,
+                                          signed=True)
+                d = ops.reduce_2q(d, pack_sp)
+            d = jax.lax.optimization_barrier(d)
+            d = ops.mont_redc_signed(d[:, :n_ord], pack_ord)
+            return ops.reduce_2q(d, pack_ord)
+
+        def fn(a, ksk0s, ksk1s, plans, part_packs, pack_sp, pack_ord, PiRs,
+               enter_ord):
+            # Batch every gadget part through ONE NTT and one pair of ksk
+            # multiplies on a [2, P, C_sp, N] array — the TPU-native answer
+            # to the reference's per-(device, part) kernel launches
+            # (reference: ckks_engine.py:788-829): bigger fused ops, and a
+            # single psum over the part axis when sharded.
+            exts = []
+            for idx, (start, alpha) in enumerate(parts_meta):
+                state = pre_extend(a, start, alpha, part_packs[idx],
+                                   plans[idx])
+                exts.append(extend(state, plans[idx], pack_sp))
+            ext = jnp.stack(exts, axis=1)                  # [2, P, C_sp, N]
+            ext = ops.ntt(ext, pack_sp, signed=True)
+            t0 = ops.mont_mult_signed(ext, jnp.stack(ksk0s, axis=1), pack_sp)
+            t1 = ops.mont_mult_signed(ext, jnp.stack(ksk1s, axis=1), pack_sp)
+            d0 = t0[:, 0]
+            d1 = t1[:, 0]
+            for p in range(1, len(parts_meta)):
+                d0 = ops.mont_add(d0, t0[:, p], pack_sp)
+                d1 = ops.mont_add(d1, t1[:, p], pack_sp)
+            d0 = ops.intt_exit_reduce(d0, pack_sp, signed=True)
+            d1 = ops.intt_exit_reduce(d1, pack_sp, signed=True)
+            return (mod_down(d0, pack_sp, pack_ord, PiRs, enter_ord),
+                    mod_down(d1, pack_sp, pack_ord, PiRs, enter_ord))
+
+        jitted = jax.jit(fn)
+        self._switcher_cache[key] = jitted
+        return jitted
+
+    def create_switcher(self, a, ksk: DataStruct, level: int,
+                        exit_ntt: bool = False):
+        """Key-switch the polynomial ``a`` [2, C_ord, N]: returns (d0, d1)
+        over the ordinary channels, in plain [0, q)."""
+        parts = self.ntt.parts(level)
+        plans = tuple((p.Y_scalar, p.L_scalar, p.L_enter) for p in parts)
+        part_packs = tuple(p.pack for p in parts)
+        ksk0s = tuple(ksk.data[p.part_id].data[0][:, level:, :] for p in parts)
+        ksk1s = tuple(ksk.data[p.part_id].data[1][:, level:, :] for p in parts)
+        fn = self._switcher_fn(level, exit_ntt)
+        return fn(a, ksk0s, ksk1s, plans, part_packs,
+                  self.pack(level, -2), self.pack(level, -1),
+                  tuple(self.PiRs[level]), self.enter_ord[level])
+
+    def switch_key(self, ct: DataStruct, ksk: DataStruct) -> DataStruct:
+        if ct.origin != types.origins["ct"]:
+            raise errors.NotMatchType(origin=ct.origin, to=types.origins["ct"])
+        level = ct.level
+        d0, d1 = self.create_switcher(ct.data[1], ksk, level,
+                                      exit_ntt=ct.ntt_state)
+        pack = self.pack(level, -1)
+        new_ct0 = ops.reduce_2q(ops.mont_add(ct.data[0], d0, pack), pack)
+        return DataStruct((new_ct0, d1), ct.include_special, ct.ntt_state,
+                          ct.montgomery_state, types.origins["ct"], level,
+                          self.hash)
+
+    # -- rescale / mult (reference: ckks_engine.py:967-1151) ----------------------
+
+    def rescale(self, ct: DataStruct, exact_rounding=True) -> DataStruct:
+        if ct.origin != types.origins["ct"]:
+            raise errors.NotMatchType(origin=ct.origin, to=types.origins["ct"])
+        level = ct.level
+        next_level = level + 1
+        if next_level >= self.num_levels:
+            raise errors.MaximumLevelError(level=level,
+                                           level_max=self.num_levels)
+        pack_next = self.pack(next_level, -1)
+        rh = self.round_halves[level] if exact_rounding else None
+        c0 = _rescale_core(ct.data[0], self.rescale_scales[level],
+                           rh, pack_next)
+        c1 = _rescale_core(ct.data[1], self.rescale_scales[level],
+                           rh, pack_next)
+        return DataStruct((c0, c1), False, False, False,
+                          types.origins["ct"], next_level, self.hash)
+
+    def create_evk(self, sk: DataStruct) -> DataStruct:
+        if sk.origin != types.origins["sk"]:
+            raise errors.NotMatchType(origin=sk.origin, to=types.origins["sk"])
+        pack = self.pack(0, -2)
+        sk2_data = ops.mont_mult(sk.data, sk.data, pack)
+        sk2 = sk._replace(data=sk2_data)
+        return self.create_key_switching_key(sk2, sk)
+
+    def cc_mult(self, a: DataStruct, b: DataStruct, evk: DataStruct,
+                relin=True) -> DataStruct:
+        x = self.rescale(a)
+        y = self.rescale(b)
+        level = x.level
+        pack = self.pack(level, -1)
+        d0, d1, d2 = _cc_mult_core(x.data[0], x.data[1],
+                                   y.data[0], y.data[1], pack)
+        ct_mult = DataStruct((d0, d1, d2), False, True, True,
+                             types.origins["ctt"], level, self.hash)
+        if relin:
+            ct_mult = self.relinearize(ct_mult, evk)
+        return ct_mult
+
+    def square(self, ct: DataStruct, evk: DataStruct, relin=True) -> DataStruct:
+        x = self.rescale(ct)
+        level = x.level
+        pack = self.pack(level, -1)
+        d0, d1, d2 = _square_core(x.data[0], x.data[1], pack)
+        ct_mult = DataStruct((d0, d1, d2), False, True, True,
+                             types.origins["ctt"], level, self.hash)
+        if relin:
+            ct_mult = self.relinearize(ct_mult, evk)
+        return ct_mult
+
+    def relinearize(self, ct_triplet: DataStruct, evk: DataStruct) -> DataStruct:
+        if ct_triplet.origin != types.origins["ctt"]:
+            raise errors.NotMatchType(origin=ct_triplet.origin,
+                                      to=types.origins["ctt"])
+        level = ct_triplet.level
+        pack = self.pack(level, -1)
+        d0, d1, d2 = _relin_pre(ct_triplet.data[0], ct_triplet.data[1],
+                                ct_triplet.data[2], pack)
+        d2_0, d2_1 = self.create_switcher(d2, evk, level)
+        c0, c1 = _relin_post(d0, d1, d2_0, d2_1, pack)
+        return DataStruct((c0, c1), False, False, False,
+                          types.origins["ct"], level, self.hash)
+
+    # -- level up (reference: ckks_engine.py:1410-1467) ----------------------------
+
+    def level_up(self, ct: DataStruct, dst_level: int) -> DataStruct:
+        if ct.origin != types.origins["ct"]:
+            raise errors.NotMatchType(origin=ct.origin, to=types.origins["ct"])
+        new_ct = self.rescale(ct)
+        src_level = ct.level + 1
+        if dst_level < src_level:
+            raise errors.MaximumLevelError(level=dst_level,
+                                           level_max=src_level)
+
+        diff_deviation = (self.deviations[dst_level]
+                          / np.sqrt(self.deviations[src_level]))
+        deviated_delta = round(self.scale * diff_deviation)
+
+        drop = dst_level - src_level
+        d0 = new_ct.data[0][:, drop:]
+        d1 = new_ct.data[1][:, drop:]
+
+        q_dst = self.ntt.q_ints(dst_level, -1)
+        mult = jnp.asarray(_pack_list(
+            [(deviated_delta * self.ctx.R) % qi for qi in q_dst]))
+        pack_dst = self.pack(dst_level, -1)
+        d0 = _scalar_mult_core(d0, mult, pack_dst)
+        d1 = _scalar_mult_core(d1, mult, pack_dst)
+        return DataStruct((d0, d1), False, False, False,
+                          types.origins["ct"], dst_level, self.hash)
+
+    # -- auto ops (reference: ckks_engine.py:2225-2246) ----------------------------
+
+    def auto_level(self, ct0: DataStruct, ct1: DataStruct):
+        if ct0.level < ct1.level:
+            return self.level_up(ct0, ct1.level), ct1
+        if ct0.level > ct1.level:
+            return ct0, self.level_up(ct1, ct0.level)
+        return ct0, ct1
+
+    def auto_cc_mult(self, ct0, ct1, evk, relin=True):
+        a, b = self.auto_level(ct0, ct1)
+        return self.cc_mult(a, b, evk, relin=relin)
+
+    def auto_cc_add(self, ct0, ct1):
+        a, b = self.auto_level(ct0, ct1)
+        return self.cc_add(a, b)
+
+    def auto_cc_sub(self, ct0, ct1):
+        a, b = self.auto_level(ct0, ct1)
+        return self.cc_sub(a, b)
+
+    # -- scalar ops (reference: ckks_engine.py:2052-2159) --------------------------
+
+    def _scalar_to_mont(self, value: int, level: int):
+        q_lvl = self.ntt.q_ints(level, -1)
+        return jnp.asarray(_pack_list(
+            [(value * self.ctx.R) % qi for qi in q_lvl]))
+
+    def mult_int_scalar(self, ct: DataStruct, scalar, evk=None, relin=True):
+        if ct.origin != types.origins["ct"]:
+            raise errors.NotMatchType(origin=ct.origin, to=types.origins["ct"])
+        mont = self._scalar_to_mont(int(scalar), ct.level)
+        pack = self.pack(ct.level, -1)
+        new_data = tuple(_scalar_mult_core(d, mont, pack) for d in ct.data)
+        return ct._replace(data=new_data)
+
+    def mult_scalar(self, ct: DataStruct, scalar, evk=None, relin=True):
+        scaled_scalar = int(
+            scalar * self.scale * np.sqrt(self.deviations[ct.level + 1]) + 0.5)
+        mont = self._scalar_to_mont(scaled_scalar, ct.level)
+        pack = self.pack(ct.level, -1)
+        new_data = tuple(_scalar_mult_core(d, mont, pack) for d in ct.data)
+        return self.rescale(ct._replace(data=new_data))
+
+    def add_scalar(self, ct: DataStruct, scalar):
+        scaled_scalar = int(
+            scalar * self.scale * self.deviations[ct.level] + 0.5)
+        if self.norm == "backward":
+            scaled_scalar *= self.ctx.N
+        scaled_scalar *= self.int_scale
+        q_lvl = self.ntt.q_ints(ct.level, -1)
+        vals = jnp.asarray(_pack_list([scaled_scalar % qi for qi in q_lvl]))
+        pack = self.pack(ct.level, -1)
+        d0 = _add_dc_core(ct.data[0], vals, pack)
+        return ct._replace(data=(d0,) + tuple(ct.data[1:]))
+
+    def sub_scalar(self, ct: DataStruct, scalar):
+        return self.add_scalar(ct, -scalar)
+
+    def int_scalar_mult(self, scalar, ct, evk=None, relin=True):
+        return self.mult_int_scalar(ct, scalar)
+
+    def scalar_mult(self, scalar, ct, evk=None, relin=True):
+        return self.mult_scalar(ct, scalar)
+
+    def scalar_add(self, scalar, ct):
+        return self.add_scalar(ct, scalar)
+
+    def scalar_sub(self, scalar, ct):
+        return self.add_scalar(self.negate(ct), scalar)
+
+    # -- message ops (reference: ckks_engine.py:2165-2219) -------------------------
+
+    def mc_mult(self, m, ct: DataStruct, evk=None, relin=True):
+        m = np.array(m) * np.sqrt(self.deviations[ct.level + 1])
+        pt = self.encode(m, 0)
+        pack = self.pack(ct.level, -1)
+        d0, d1 = _mc_mult_core(pt, ct.data[0], ct.data[1], pack)
+        new_ct = ct._replace(data=(d0, d1))
+        return self.rescale(new_ct)
+
+    def mc_add(self, m, ct: DataStruct):
+        pt = self.encode(m, ct.level)
+        pack = self.pack(ct.level, -1)
+        d0 = _mc_add_core(pt, ct.data[0], pack)
+        return ct._replace(data=(d0,) + tuple(ct.data[1:]))
+
+    def mc_sub(self, m, ct: DataStruct):
+        return self.mc_add(m, self.negate(ct))
+
+    def cm_mult(self, ct, m, evk=None, relin=True):
+        return self.mc_mult(m, ct)
+
+    def cm_add(self, ct, m):
+        return self.mc_add(m, ct)
+
+    def cm_sub(self, ct, m):
+        return self.mc_add(-np.array(m), ct)
+
+    # -- rotations & conjugation (reference: ckks_engine.py:1157-1263, 1694-1734) --
+
+    def _rotated_sk(self, sk: DataStruct, perm_data) -> DataStruct:
+        """Apply a signed coefficient permutation to sk (coefficient domain
+        round-trip; Montgomery form commutes with permutation)."""
+        pack = self.pack(0, -1)
+        n_ord = self.num_ordinary
+        sk_ord = sk.data[:, :n_ord]
+        gather = jnp.asarray(perm_data[0])
+        neg = jnp.asarray(perm_data[1])
+        rotated = _rotate_sk_core(sk_ord, gather, neg, pack)
+        return DataStruct(rotated, False, True, True,
+                          types.origins["sk"], 0, self.hash)
+
+    def create_rotation_key(self, sk: DataStruct, delta: int,
+                            a=None) -> DataStruct:
+        if sk.origin != types.origins["sk"]:
+            raise errors.NotMatchType(origin=sk.origin, to=types.origins["sk"])
+        perm = encdec.rotate_perm_data(self.ctx.N, delta)
+        sk_rotated = self._rotated_sk(sk, perm)
+        rotk = self.create_key_switching_key(sk_rotated, sk, a=a)
+        return rotk._replace(origin=types.origins["rotk"] + f"{delta}")
+
+    def create_conjugation_key(self, sk: DataStruct) -> DataStruct:
+        if sk.origin != types.origins["sk"]:
+            raise errors.NotMatchType(origin=sk.origin, to=types.origins["sk"])
+        perm = encdec.conjugate_perm_data(self.ctx.N)
+        sk_conj = self._rotated_sk(sk, perm)
+        conjk = self.create_key_switching_key(sk_conj, sk)
+        return conjk._replace(origin=types.origins["conjk"])
+
+    def create_galois_key(self, sk: DataStruct) -> DataStruct:
+        parts = [self.create_rotation_key(sk, delta)
+                 for delta in self.galois_deltas]
+        return DataStruct(parts, True, True, True,
+                          types.origins["galk"], 0, self.hash)
+
+    def _permute_ct(self, ct: DataStruct, perm_data) -> DataStruct:
+        pack = self.pack(ct.level, -1)
+        gather = jnp.asarray(perm_data[0])
+        neg = jnp.asarray(perm_data[1])
+        new_data = tuple(_rotate_ct_core(d, gather, neg, pack)
+                         for d in ct.data)
+        return ct._replace(data=new_data)
+
+    def rotate_single(self, ct: DataStruct, rotk: DataStruct) -> DataStruct:
+        if types.origins["rotk"] not in rotk.origin:
+            raise errors.NotMatchType(origin=rotk.origin,
+                                      to=types.origins["rotk"])
+        delta = int(rotk.origin.split(":")[-1])
+        perm = encdec.rotate_perm_data(self.ctx.N, delta)
+        rotated = self._permute_ct(ct, perm)
+        return self.switch_key(rotated, rotk)
+
+    def rotate_galois(self, ct: DataStruct, gk: DataStruct, delta: int,
+                      return_circuit=False):
+        if gk.origin != types.origins["galk"]:
+            raise errors.NotMatchType(origin=gk.origin,
+                                      to=types.origins["galk"])
+        current_delta = delta % self.num_slots
+        circuit = []
+        while current_delta:
+            ind = int(math.log2(current_delta))
+            circuit.append(ind)
+            current_delta -= self.galois_deltas[ind]
+        rotated = ct
+        for ind in circuit:
+            rotated = self.rotate_single(rotated, gk.data[ind])
+        return (rotated, circuit) if return_circuit else rotated
+
+    def conjugate(self, ct: DataStruct, conjk: DataStruct) -> DataStruct:
+        perm = encdec.conjugate_perm_data(self.ctx.N)
+        conj = self._permute_ct(ct, perm)
+        return self.switch_key(conj, conjk)
+
+    # -- high-level math (reference: ckks_engine.py:2301-2351, 2693-2724) ----------
+
+    def sum(self, ct: DataStruct, gk: DataStruct) -> DataStruct:
+        new_ct = ct
+        for roti in range(self.ctx.logN - 1):
+            rot_ct = self.rotate_single(new_ct, gk.data[roti])
+            new_ct = self.add(rot_ct, new_ct)
+        return new_ct
+
+    def mean(self, ct: DataStruct, gk: DataStruct, alpha=1) -> DataStruct:
+        new_ct = self.mult(1 / self.num_slots / alpha, ct)
+        for roti in range(self.ctx.logN - 1):
+            rot_ct = self.rotate_single(new_ct, gk.data[roti])
+            new_ct = self.add(rot_ct, new_ct)
+        return new_ct
+
+    def cov(self, ct_a: DataStruct, ct_b: DataStruct,
+            evk: DataStruct, gk: DataStruct) -> DataStruct:
+        cta_mean = self.mean(ct_a, gk)
+        ctb_mean = self.mean(ct_b, gk)
+        cta_dev = self.sub(ct_a, cta_mean)
+        ctb_dev = self.sub(ct_b, ctb_mean)
+        return self.mult(self.mult(cta_dev, ctb_dev, evk),
+                         1 / (self.num_slots - 1))
+
+    def pow(self, ct: DataStruct, power: int, evk: DataStruct) -> DataStruct:
+        current_exponent = 2
+        pow_list = [ct]
+        while current_exponent <= power:
+            pow_list.append(self.cc_mult(pow_list[-1], pow_list[-1], evk))
+            current_exponent *= 2
+        remaining = power - current_exponent // 2
+        new_ct = pow_list[-1]
+        while remaining > 0:
+            ind = math.floor(math.log2(remaining))
+            new_ct = self.auto_cc_mult(new_ct, pow_list[ind], evk)
+            remaining -= 2 ** ind
+        return new_ct
+
+    def sqrt(self, ct: DataStruct, evk: DataStruct, e=0.0001,
+             alpha=0.0001) -> DataStruct:
+        """Wilkes-style iteration (reference: ckks_engine.py:2693-2710)."""
+        a = ct
+        b = ct
+        while e <= 1 - alpha:
+            k = float(np.roots([1 - e ** 3, -6 + 6 * e ** 2, 9 - 9 * e])[1])
+            t = self.mult_scalar(a, k)
+            b0 = self.sub_scalar(t, 3)
+            b1 = self.mult_scalar(b, (k ** 0.5) / 2)
+            b = self.cc_mult(b0, b1, evk)
+
+            a0 = self.mult_scalar(a, (k ** 3) / 4)
+            t = self.sub_scalar(a, 3 / k)
+            a1 = self.square(t, evk)
+            a = self.cc_mult(a0, a1, evk)
+            e = k * (3 - k) ** 2 / 4
+        return b
+
+    def var(self, ct: DataStruct, evk: DataStruct, gk: DataStruct,
+            relin=False) -> DataStruct:
+        ct_mean = self.mean(ct, gk)
+        dev = self.sub(ct, ct_mean)
+        dev = self.square(dev, evk, relin=relin)
+        if not relin:
+            dev = self.relinearize(dev, evk)
+        return self.mean(dev, gk)
+
+    def std(self, ct: DataStruct, evk: DataStruct, gk: DataStruct,
+            relin=False) -> DataStruct:
+        return self.sqrt(self.var(ct, evk, gk, relin=relin), evk)
+
+    # -- multiparty (threshold) FHE (reference: ckks_engine.py:2388-2687) ----------
+
+    def multiparty_public_crs(self, pk: DataStruct):
+        return pk.data[1]
+
+    def multiparty_create_public_key(self, sk: DataStruct, a=None,
+                                     include_special=False) -> DataStruct:
+        return self.create_public_key(sk, include_special=include_special,
+                                      a=a)
+
+    def multiparty_create_collective_public_key(
+            self, pks: list) -> DataStruct:
+        mult_type = -2 if pks[0].include_special else -1
+        pack = self.pack(0, mult_type)
+        b = pks[0].data[0]
+        for pk in pks[1:]:
+            b = ops.mont_add(b, pk.data[0], pack)
+        return pks[0]._replace(data=(b, pks[0].data[1]),
+                               origin=types.origins["pk"])
+
+    def multiparty_decrypt_head(self, ct: DataStruct, sk: DataStruct):
+        """ct0 + a*sk_0 (party 0; reference: ckks_engine.py:2447-2470)."""
+        level = ct.level
+        pack = self.pack(level, -1)
+        C = self.ntt.num_channels(level, -1)
+        sk_data = sk.data[:, level:level + C, :]
+        return _mp_decrypt_head(ct.data[0], ct.data[1], sk_data, pack)
+
+    def multiparty_decrypt_partial(self, ct: DataStruct, sk: DataStruct):
+        """a*sk_i (party i; reference: ckks_engine.py:2472-2493)."""
+        level = ct.level
+        pack = self.pack(level, -1)
+        C = self.ntt.num_channels(level, -1)
+        sk_data = sk.data[:, level:level + C, :]
+        return _mp_decrypt_partial(ct.data[1], sk_data, pack)
+
+    def multiparty_decrypt_fusion(self, pcts: list, level=0,
+                                  include_special=False):
+        pack = self.pack(level, -1)
+        pt = pcts[0]
+        for pct in pcts[1:]:
+            pt = ops.mont_add(pt, pct, pack)
+        pt = ops.reduce_2q(pt, pack)
+        scaled = self._final_rescale_signed(pt, level, final_round=True)
+        return self.decode(scaled, level=level)
+
+    def multiparty_create_key_switching_key(self, sk_src: DataStruct,
+                                            sk_dst: DataStruct,
+                                            a=None) -> DataStruct:
+        """Identical to create_key_switching_key but with a caller-provided
+        CRS so every party uses the same `a` (reference: :2521-2568)."""
+        return self.create_key_switching_key(sk_src, sk_dst, a=a)
+
+    def multiparty_create_rotation_key(self, sk: DataStruct, delta: int,
+                                       a=None) -> DataStruct:
+        return self.create_rotation_key(sk, delta, a=a)
+
+    def _sum_ksk_pk0(self, ksks: list) -> DataStruct:
+        """Sum the pk0 components of key-switching-key shares."""
+        pack = self.pack(0, -2)
+        out_parts = []
+        for part_idx in range(len(ksks[0].data)):
+            pk0 = ksks[0].data[part_idx].data[0]
+            for other in ksks[1:]:
+                pk0 = ops.mont_add(pk0, other.data[part_idx].data[0], pack)
+            out_parts.append(ksks[0].data[part_idx]._replace(
+                data=(pk0, ksks[0].data[part_idx].data[1])))
+        return ksks[0]._replace(data=out_parts)
+
+    def multiparty_generate_rotation_key(self, rotks: list) -> DataStruct:
+        return self._sum_ksk_pk0(rotks)
+
+    def generate_rotation_crs(self, rotk: DataStruct):
+        if (types.origins["rotk"] not in rotk.origin
+                and types.origins["ksk"] != rotk.origin):
+            raise errors.NotMatchType(origin=rotk.origin,
+                                      to=types.origins["ksk"])
+        return [ksk.data[1] for ksk in rotk.data]
+
+    def generate_galois_crs(self, galk: DataStruct):
+        if galk.origin != types.origins["galk"]:
+            raise errors.NotMatchType(origin=galk.origin,
+                                      to=types.origins["galk"])
+        return [[ksk.data[1] for ksk in rotk.data] for rotk in galk.data]
+
+    def multiparty_create_galois_key(self, sk: DataStruct, a: list) -> DataStruct:
+        if sk.origin != types.origins["sk"]:
+            raise errors.NotMatchType(origin=sk.origin, to=types.origins["sk"])
+        parts = [self.multiparty_create_rotation_key(
+                     sk, self.galois_deltas[idx], a=a[idx])
+                 for idx in range(len(self.galois_deltas))]
+        return DataStruct(parts, True, True, True,
+                          types.origins["galk"], 0, self.hash)
+
+    def multiparty_generate_galois_key(self, galks: list) -> DataStruct:
+        rotks = [self._sum_ksk_pk0([g.data[i] for g in galks])
+                 for i in range(len(galks[0].data))]
+        return galks[0]._replace(data=rotks)
+
+    def multiparty_sum_evk_share(self, evks_share: list) -> DataStruct:
+        return self._sum_ksk_pk0(evks_share)
+
+    def multiparty_mult_evk_share_sum(self, evk_sum: DataStruct,
+                                      sk: DataStruct) -> DataStruct:
+        """Each party multiplies both ksk halves by its secret share
+        (reference: ckks_engine.py:2664-2676)."""
+        if sk.origin != types.origins["sk"]:
+            raise errors.NotMatchType(origin=sk.origin, to=types.origins["sk"])
+        pack = self.pack(0, -2)
+        out_parts = []
+        for part in evk_sum.data:
+            b = ops.mont_mult(part.data[0], sk.data, pack)
+            a = ops.mont_mult(part.data[1], sk.data, pack)
+            out_parts.append(part._replace(data=(b, a)))
+        return evk_sum._replace(data=out_parts)
+
+    def multiparty_sum_evk_share_mult(self, evk_sum_mult: list) -> DataStruct:
+        pack = self.pack(0, -2)
+        out_parts = []
+        for part_idx in range(len(evk_sum_mult[0].data)):
+            b = evk_sum_mult[0].data[part_idx].data[0]
+            a = evk_sum_mult[0].data[part_idx].data[1]
+            for other in evk_sum_mult[1:]:
+                b = ops.mont_add(b, other.data[part_idx].data[0], pack)
+                a = ops.mont_add(a, other.data[part_idx].data[1], pack)
+            out_parts.append(evk_sum_mult[0].data[part_idx]._replace(
+                data=(b, a)))
+        return evk_sum_mult[0]._replace(data=out_parts)
+
+    # -- negate (reference: ckks_engine.py:2035-2046) ----------------------------
+
+    def negate(self, ct: DataStruct) -> DataStruct:
+        pack = self.pack(ct.level, -1)
+        new_data = tuple(_neg_core(d, pack) for d in ct.data)
+        return ct._replace(data=new_data)
+
+    # -- data management ----------------------------------------------------------
+
+    def clone(self, text: DataStruct) -> DataStruct:
+        """jnp arrays are immutable; cloning copies structure only."""
+        if isinstance(text.data, DataStruct):
+            return text._replace(data=self.clone(text.data))
+        if (isinstance(text.data, (list, tuple))
+                and len(text.data) > 0 and isinstance(text.data[0], DataStruct)):
+            return text._replace(
+                data=type(text.data)(self.clone(d) for d in text.data))
+        return text._replace(data=text.data)
+
+    def cpu(self, text: DataStruct) -> DataStruct:
+        """Fetch to host (numpy) recursively."""
+        return jax.tree_util.tree_map(lambda x: np.asarray(x), text)
+
+    def cuda(self, text: DataStruct) -> DataStruct:  # reference-compatible name
+        return self.device_put(text)
+
+    def device_put(self, text: DataStruct) -> DataStruct:
+        return jax.tree_util.tree_map(jnp.asarray, text)
+
+    def device(self, text: DataStruct) -> str:
+        leaves = jax.tree_util.tree_leaves(text)
+        x = leaves[0]
+        if isinstance(x, np.ndarray):
+            return "cpu"
+        return str(next(iter(x.devices()))).split(":")[0]
+
+    def save(self, text: DataStruct, filename=None):
+        if filename is None:
+            import datetime
+            filename = datetime.datetime.now().strftime("%Y%m%d%H%M%S%f") + ".pkl"
+        cpu_text = self.cpu(text)
+        with Path(filename).open("wb") as f:
+            pickle.dump(cpu_text, f)
+        return filename
+
+    def load(self, filename, move_to_device=True):
+        with Path(filename).open("rb") as f:
+            text = pickle.load(f)
+        if text.hash and text.hash != self.hash:
+            raise errors.HashMismatchError()
+        return self.device_put(text) if move_to_device else text
+
+    def print_data_structure(self, text, level=0):
+        indent = "  " * level
+        if isinstance(text, DataStruct):
+            print(f"{indent}{text.origin} (level={text.level})")
+            data = text.data
+            if isinstance(data, DataStruct):
+                self.print_data_structure(data, level + 1)
+            elif (isinstance(data, (list, tuple)) and data
+                    and isinstance(data[0], DataStruct)):
+                for d in data:
+                    self.print_data_structure(d, level + 1)
+            else:
+                for d in (data if isinstance(data, (list, tuple)) else [data]):
+                    print(f"{indent}  array {tuple(d.shape)}")
+
+    # -- misc ----------------------------------------------------------------------
+
+    def refresh(self, seed=None):
+        self.rng.refresh(seed)
+
+    def reduce_error(self, ct):
+        return self.mult_scalar(ct, 1.0)
+
+    # -- dispatchers (reference: ckks_engine.py:2252-2283) -----------------------
+
+    def mult(self, a, b, evk=None, relin=True):
+        func = self.mult_dispatch.get((type(a), type(b)))
+        if func is None:
+            raise errors.DifferentTypeError(a=type(a).__name__, b=type(b).__name__)
+        return func(a, b, evk, relin)
+
+    def add(self, a, b):
+        func = self.add_dispatch.get((type(a), type(b)))
+        if func is None:
+            raise errors.DifferentTypeError(a=type(a).__name__, b=type(b).__name__)
+        return func(a, b)
+
+    def sub(self, a, b):
+        func = self.sub_dispatch.get((type(a), type(b)))
+        if func is None:
+            raise errors.DifferentTypeError(a=type(a).__name__, b=type(b).__name__)
+        return func(a, b)
+
+
+def _pack_scalar(v: int) -> np.ndarray:
+    return _pack_list([v])
+
+
+def _pack_list(vals) -> np.ndarray:
+    arr = np.array([int(v) & 0xFFFFFFFFFFFFFFFF for v in vals],
+                   dtype=np.uint64)
+    lo = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (arr >> np.uint64(32)).astype(np.uint32)
+    return np.stack([lo, hi], axis=0)
+
+
+# Reference-compatible alias.
+ckks_engine = CkksEngine

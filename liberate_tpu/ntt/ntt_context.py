@@ -36,8 +36,8 @@ class LevelPack(NamedTuple):
     Rs: jnp.ndarray          # [2, C] packed R^2 mod q
     Rs_scale: jnp.ndarray    # [2, C] packed R^2 * scale mod q
     Ninv: jnp.ndarray        # [2, C] packed N^{-1} R mod q
-    psi: Optional[tuple]     # per-stage fwd twiddles, tuple of [2, C, m]
-    ipsi: Optional[tuple]    # per-stage inv twiddles, tuple of [2, C, h]
+    psi: Optional[jnp.ndarray]   # fwd twiddle bank [2, C, N], bit-reversed
+    ipsi: Optional[jnp.ndarray]  # inv twiddle bank [2, C, N]
 
 
 class PartPlan(NamedTuple):
@@ -150,17 +150,10 @@ class NttContext:
         logN = self.logN
         psi = ipsi = None
         if with_psi:
-            psi_stages = []
-            ipsi_stages = []
-            for logm in range(logN):
-                m = 1 << logm
-                psi_stages.append(jnp.asarray(self._psi_mont[:, idx, m:2 * m]))
-            # Indexed as ipsi[logm - 1] (h = 2^(logm-1)) by ops.intt.
-            for logm in range(1, logN + 1):
-                h = 1 << (logm - 1)
-                ipsi_stages.append(jnp.asarray(self._ipsi_mont[:, idx, h:2 * h]))
-            psi = tuple(psi_stages)
-            ipsi = tuple(ipsi_stages)
+            # Full bit-reverse-ordered banks [2, C, N]; stage s addresses
+            # entries [2^s : 2^{s+1}) via the shared index banks in ops.
+            psi = jnp.asarray(self._psi_mont[:, idx, :])
+            ipsi = jnp.asarray(self._ipsi_mont[:, idx, :])
         return LevelPack(
             ql=jnp.asarray(self._ql[idx]),
             qh=jnp.asarray(self._qh[idx]),
@@ -205,8 +198,11 @@ class NttContext:
         bounds = [0] + [min((j + 1) * alpha0, nscale)
                         for j in range(num_partitions)] + [nscale + 1]
         local = 0
-        part_id = 0
         for j in range(len(bounds) - 1):
+            # part_id = j is the GLOBAL partition index: a level-l part must
+            # address the ksk component generated for the same partition at
+            # level 0 (reference: parts_alloc mapping, ckks_engine.py:923).
+            part_id = j
             lo, hi = max(bounds[j], level), bounds[j + 1]
             if hi <= lo:
                 continue
@@ -252,5 +248,4 @@ class NttContext:
                 L_enter=L_enter,
             ))
             local += alpha
-            part_id += 1
         return plans

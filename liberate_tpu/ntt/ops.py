@@ -9,15 +9,17 @@ Semantics are bit-exact mirrors of the reference CUDA kernels
 (reference: src/liberate/ntt/ntt_cuda_kernel.cu); validated against
 liberate_tpu.ntt.golden in tests/test_ops.py.
 
-The NTT is the Longa-Naehrig negacyclic transform expressed as logN
-reshape+elementwise stages: stage ``logm`` views the coefficient axis as
-[m, 2, t] so the even/odd butterfly halves are contiguous — no gathers, no
-index tables; XLA lowers each stage to fused vector ops (and the Pallas
-backend runs all stages in VMEM).
+The NTT is the Longa-Naehrig negacyclic transform expressed as ONE
+lax.fori_loop whose body performs a shape-invariant butterfly stage via
+precomputed index banks (see _stage_banks): jit traces stay small at any
+logN, and the same code handles batched [2, P, C, N] inputs (the key
+switcher batches gadget parts through a single NTT). The Pallas TPU
+backend replaces this with a fused in-VMEM kernel.
 """
 
 from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,8 +35,10 @@ __all__ = [
 
 
 def _consts(pack, extra_dims):
-    """Broadcast per-channel u32 constants [C] -> [C, 1, ...]."""
-    shape = (-1,) + (1,) * extra_dims
+    """Broadcast per-channel u32 constants [C] so the channel axis lands at
+    axis -2 of the data: [C, 1] for [C, N] data, [1, C, 1] for batched
+    [P, C, N] data (the key switcher batches gadget parts)."""
+    shape = (1,) * (extra_dims - 1) + (-1, 1)
     return (pack.ql.reshape(shape), pack.qh.reshape(shape),
             pack.kl.reshape(shape), pack.kh.reshape(shape))
 
@@ -44,8 +48,16 @@ def _pair(x):
 
 
 def _q2(pack, extra_dims):
-    shape = (-1,) + (1,) * extra_dims
+    shape = (1,) * (extra_dims - 1) + (-1, 1)
     return (pack.q2[0].reshape(shape), pack.q2[1].reshape(shape))
+
+
+def _bcast_scalar(scalar, ndim):
+    """Reshape a packed per-channel scalar [2, C] to broadcast against
+    packed data of the given ndim ([2, ..., C, N])."""
+    extra = ndim - 3
+    return scalar.reshape(scalar.shape[:1] + (1,) * extra
+                          + (scalar.shape[1], 1))
 
 
 def _cond_sub(v, q2):
@@ -68,19 +80,20 @@ def mont_mult_signed(a, b, pack):
     return u64.pack(*r)
 
 
-def mont_enter(a, pack):
+def mont_enter(a, pack, signed=False):
     """Enter Montgomery form: multiply by R^2 (-> a*R mod q)."""
-    return mont_mult(a, pack.Rs[:, :, None], pack)
+    b = _bcast_scalar(pack.Rs, a.ndim)
+    return (mont_mult_signed if signed else mont_mult)(a, b, pack)
 
 
 def mont_enter_scale(a, pack):
     """Multiply by scale*R (encode-side fused scaling)."""
-    return mont_mult(a, pack.Rs_scale[:, :, None], pack)
+    return mont_mult(a, _bcast_scalar(pack.Rs_scale, a.ndim), pack)
 
 
 def mont_enter_scalar(a, scalar, pack, signed=False):
     """Multiply by a per-channel Montgomery-form scalar [2, C]."""
-    b = scalar[:, :, None] if a.ndim == 3 else scalar
+    b = _bcast_scalar(scalar, a.ndim)
     return (mont_mult_signed if signed else mont_mult)(a, b, pack)
 
 
@@ -88,6 +101,28 @@ def mont_redc(a, pack):
     ql, qh, kl, kh = _consts(pack, a.ndim - 2)
     r = u64.montredc(_pair(a), ql, qh, kl, kh)
     return u64.pack(*r)
+
+
+def mont_redc_signed(a, pack):
+    """Montgomery reduce tolerating wrapped-negative int64 inputs."""
+    ql, qh, kl, kh = _consts(pack, a.ndim - 2)
+    r = u64.montredc_signed(_pair(a), ql, qh, kl, kh)
+    return u64.pack(*r)
+
+
+def pack_slice(pack, start, stop, with_psi=False):
+    """Restrict a LevelPack to the channel slice [start, stop)."""
+    psi = ipsi = None
+    if with_psi and pack.psi is not None:
+        psi = pack.psi[:, start:stop]
+        ipsi = pack.ipsi[:, start:stop]
+    return pack._replace(
+        ql=pack.ql[start:stop], qh=pack.qh[start:stop],
+        kl=pack.kl[start:stop], kh=pack.kh[start:stop],
+        q2=pack.q2[:, start:stop], Rs=pack.Rs[:, start:stop],
+        Rs_scale=pack.Rs_scale[:, start:stop], Ninv=pack.Ninv[:, start:stop],
+        psi=psi, ipsi=ipsi,
+    )
 
 
 def mont_add(a, b, pack):
@@ -148,61 +183,144 @@ def neg(a, pack):
     return u64.pack(*_cond_sub(s, q2))
 
 
+def canon_2q(a, pack):
+    """Repair two's-complement negatives in (-2q, 2q) to the lazy [0, 2q).
+
+    Keeps all downstream operands non-negative so the fast (unsigned)
+    Montgomery path applies; used after signed coefficient permutations.
+    """
+    q2 = _q2(pack, a.ndim - 2)
+    neg = (a[1].astype(jnp.int32) < 0)
+    fixed = u64.add(_pair(a), q2)
+    lo = jnp.where(neg, fixed[0], a[0])
+    hi = jnp.where(neg, fixed[1], a[1])
+    return u64.pack(lo, hi)
+
+
+def apply_signed_perm(a, gather_idx, neg_mask):
+    """Signed coefficient permutation out[j] = (-1)^neg[j] * a[..., idx[j]].
+
+    The Galois automorphism mu_p on negacyclic polynomials: coefficients
+    permute and wrap with a sign flip (reference: encdec.py:224-270). The
+    negation is two's-complement (0 - x), exactly like the reference's
+    torch tensor negation; the consumer repairs signedness afterwards with
+    make_unsigned (reference: ckks_engine.py:1196-1200).
+    """
+    g = jnp.take(a, gather_idx, axis=-1)
+    zero = jnp.zeros_like(g[0])
+    neg = u64.sub((zero, zero), (g[0], g[1]))
+    lo = jnp.where(neg_mask, neg[0], g[0])
+    hi = jnp.where(neg_mask, neg[1], g[1])
+    return u64.pack(lo, hi)
+
+
 # -- NTT / INTT ----------------------------------------------------------------
 
 
-def ntt(a, pack):
-    """Forward negacyclic NTT over [2, C, N]; preserves Montgomery domain."""
-    _, C, N = a.shape
+_STAGE_BANKS = {}
+
+
+def _stage_banks(N: int):
+    """Per-stage butterfly index banks, shared by forward and inverse NTT.
+
+    Stage ``s`` views the coefficient axis as [m, 2, t] blocks with
+    m = 2^s, t = N >> (s+1): pair j sits at (u, u+t) with u = (j//t)*2t +
+    j%t, and uses twiddle bank entry m + j//t (the Longa-Naehrig layout the
+    reference paints into tables — reference: ckks_context.py:89-112). The
+    banks make every stage's computation shape-identical, so the whole NTT
+    is ONE lax.fori_loop stage body instead of logN unrolled stages — this
+    keeps jit traces (and XLA compile times) small at any logN.
+    """
+    if N in _STAGE_BANKS:
+        return _STAGE_BANKS[N]
     logN = N.bit_length() - 1
-    ql, qh, kl, kh = _consts(pack, 2)
-    q2 = _q2(pack, 2)
-    for logm in range(logN):
-        m = 1 << logm
-        t = N >> (logm + 1)
-        v = a.reshape(2, C, m, 2, t)
-        U = (v[0, :, :, 0, :], v[1, :, :, 0, :])
-        O = (v[0, :, :, 1, :], v[1, :, :, 1, :])
-        S = pack.psi[logm]
-        Sp = (S[0][:, :, None], S[1][:, :, None])
-        V = u64.montmul(Sp, O, ql, qh, kl, kh)
+    u_b, o_b, t_b = [], [], []
+    for s in range(logN):
+        m = 1 << s
+        t = N >> (s + 1)
+        j = np.arange(N // 2)
+        b = j // t
+        u = b * 2 * t + j % t
+        u_b.append(u)
+        o_b.append(u + t)
+        t_b.append(m + b)
+    # Cached as numpy: jnp conversion happens per call so no device array
+    # created inside one jit trace leaks into another.
+    banks = (np.stack(u_b).astype(np.int32),
+             np.stack(o_b).astype(np.int32),
+             np.stack(t_b).astype(np.int32))
+    _STAGE_BANKS[N] = banks
+    return banks
+
+
+def ntt(a, pack, signed=False):
+    """Forward negacyclic NTT over [2, C, N]; preserves Montgomery domain.
+
+    Cooley-Tukey butterflies, natural-order input, bit-reversed output
+    (reference: ntt_cuda_kernel.cu:237-342). ``signed=True`` mirrors the
+    CUDA kernel's int64 (arithmetic-shift) semantics for inputs that may be
+    wrapped-negative — the key-switching basis-extension outputs
+    (reference: ckks_engine.py:917-920); the lazy [0, 2q) fast path assumes
+    non-negative inputs < 2^62.
+    """
+    mm = u64.montmul_signed if signed else u64.montmul
+    N = a.shape[-1]
+    logN = N.bit_length() - 1
+    u_idx, o_idx, tw_idx = (jnp.asarray(b) for b in _stage_banks(N))
+    ql, qh, kl, kh = _consts(pack, a.ndim - 2)
+    q2 = _q2(pack, a.ndim - 2)
+    psi = pack.psi
+
+    def body(s, a):
+        ui, oi, ti = u_idx[s], o_idx[s], tw_idx[s]
+        U = (jnp.take(a[0], ui, axis=-1), jnp.take(a[1], ui, axis=-1))
+        O = (jnp.take(a[0], oi, axis=-1), jnp.take(a[1], oi, axis=-1))
+        S = (jnp.take(psi[0], ti, axis=-1), jnp.take(psi[1], ti, axis=-1))
+        # The data operand O may be wrapped-negative; twiddles never are.
+        V = mm(O, S, ql, qh, kl, kh) if signed \
+            else u64.montmul(S, O, ql, qh, kl, kh)
         even = _cond_sub(u64.add(U, V), q2)
         odd = _cond_sub(u64.sub(u64.add(U, q2), V), q2)
-        a = jnp.stack(
-            [jnp.stack([even[0], odd[0]], axis=2),
-             jnp.stack([even[1], odd[1]], axis=2)], axis=0
-        ).reshape(2, C, N)
-    return a
+        a = a.at[..., ui].set(u64.pack(*even), unique_indices=True)
+        a = a.at[..., oi].set(u64.pack(*odd), unique_indices=True)
+        return a
+
+    return jax.lax.fori_loop(0, logN, body, a)
 
 
-def intt_no_norm(a, pack):
-    """Gentleman-Sande inverse NTT without the final N^{-1} normalization."""
-    _, C, N = a.shape
+def intt_no_norm(a, pack, signed=False):
+    """Gentleman-Sande inverse NTT without the final N^{-1} normalization
+    (reference: ntt_cuda_kernel.cu:434-548)."""
+    mm = u64.montmul_signed if signed else u64.montmul
+    N = a.shape[-1]
     logN = N.bit_length() - 1
-    ql, qh, kl, kh = _consts(pack, 2)
-    q2 = _q2(pack, 2)
-    for logm in range(logN, 0, -1):
-        h = 1 << (logm - 1)
-        t = N >> logm
-        v = a.reshape(2, C, h, 2, t)
-        U = (v[0, :, :, 0, :], v[1, :, :, 0, :])
-        V = (v[0, :, :, 1, :], v[1, :, :, 1, :])
-        S = pack.ipsi[logm - 1]
-        Sp = (S[0][:, :, None], S[1][:, :, None])
+    u_idx, o_idx, tw_idx = (jnp.asarray(b) for b in _stage_banks(N))
+    ql, qh, kl, kh = _consts(pack, a.ndim - 2)
+    q2 = _q2(pack, a.ndim - 2)
+    ipsi = pack.ipsi
+
+    def body(i, a):
+        s = logN - 1 - i
+        ui, oi, ti = u_idx[s], o_idx[s], tw_idx[s]
+        U = (jnp.take(a[0], ui, axis=-1), jnp.take(a[1], ui, axis=-1))
+        V = (jnp.take(a[0], oi, axis=-1), jnp.take(a[1], oi, axis=-1))
+        S = (jnp.take(ipsi[0], ti, axis=-1), jnp.take(ipsi[1], ti, axis=-1))
         O = _cond_sub(u64.sub(u64.add(U, q2), V), q2)
-        W = u64.montmul(Sp, O, ql, qh, kl, kh)
+        W = mm(O, S, ql, qh, kl, kh) if signed \
+            else u64.montmul(S, O, ql, qh, kl, kh)
         even = _cond_sub(u64.add(U, V), q2)
-        a = jnp.stack(
-            [jnp.stack([even[0], W[0]], axis=2),
-             jnp.stack([even[1], W[1]], axis=2)], axis=0
-        ).reshape(2, C, N)
-    return a
+        a = a.at[..., ui].set(u64.pack(*even), unique_indices=True)
+        a = a.at[..., oi].set(u64.pack(*W), unique_indices=True)
+        return a
+
+    return jax.lax.fori_loop(0, logN, body, a)
 
 
-def intt(a, pack):
+def intt(a, pack, signed=False):
     """Inverse NTT with N^{-1} normalization (Ninv = N^{-1}*R mod q)."""
-    a = intt_no_norm(a, pack)
-    return mont_mult(a, pack.Ninv[:, :, None], pack)
+    a = intt_no_norm(a, pack, signed=signed)
+    b = _bcast_scalar(pack.Ninv, a.ndim)
+    return (mont_mult_signed if signed else mont_mult)(a, b, pack)
 
 
 # -- fused chains (reference: ntt_cuda_kernel.cu:349-423, 709-903) -------------
@@ -212,12 +330,14 @@ def enter_ntt(a, pack):
     return ntt(mont_enter(a, pack), pack)
 
 
-def intt_exit(a, pack):
+def intt_exit(a, pack, signed=False):
+    if signed:
+        return mont_redc_signed(intt(a, pack, signed=True), pack)
     return mont_redc(intt(a, pack), pack)
 
 
-def intt_exit_reduce(a, pack):
-    return reduce_2q(intt_exit(a, pack), pack)
+def intt_exit_reduce(a, pack, signed=False):
+    return reduce_2q(intt_exit(a, pack, signed=signed), pack)
 
 
 def intt_exit_reduce_signed(a, pack):

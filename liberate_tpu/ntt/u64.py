@@ -255,6 +255,35 @@ def montmul_signed(a, b, ql, qh, kl, kh):
     return res
 
 
+def montredc_signed(a, ql, qh, kl, kh):
+    """Montgomery reduction where ``a`` may be any two's-complement int64.
+
+    Mirrors the CUDA kernel's int64 semantics (arithmetic shifts) for the
+    mod-down path of key switching, where inputs can be wrapped-negative
+    (reference: ntt_cuda_kernel.cu:560-607 used at ckks_engine.py:893-901).
+    """
+    alo, ahi = a
+    xl = alo & LB_MASK
+    xh = sar(a, 31)                   # full u64, sign-extended
+
+    xkb = add(mul_u64_u32_lo(xh, kl), mul32_wide(xl, kh))
+    s = add(shl(xkb, 31), mul32_wide(xl, kl))
+    s = (s[0], s[1] & HI62_MASK)
+
+    sl = s[0] & LB_MASK
+    sh = shr31_to_u32(s)
+    sqb = add(mul32_wide(sh, ql), mul32_wide(sl, qh))
+    sqbl = sqb[0] & LB_MASK
+    sqbh = shr(sqb, 31)
+
+    carry = sar(add(a, mul32_wide(sl, ql)), 31)
+    carry2 = sar(add_u32(carry, sqbl), 31)
+
+    res = add(sqbh, mul32_wide(sh, qh))
+    res = add(res, carry2)
+    return res
+
+
 def montredc(a, ql, qh, kl, kh):
     """Montgomery reduction a*R^{-1} mod q for non-negative a < 2^62.
 
