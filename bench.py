@@ -53,9 +53,12 @@ def main():
     ct1 = eng.encorypt(m1, pk)
     ct2 = eng.encorypt(m2, pk)
 
-    # Warm up (jit compile).
+    # Warm up (jit compile) and verify correctness: a broken fast path must
+    # not produce a throughput number.
     out = eng.mult(ct1, ct2, evk)
     jax.block_until_ready(out.data)
+    errv = abs(eng.absmax_error(eng.decrode(out, sk), m1 * m2))
+    assert errv < 1e-4, f"mult decryption error too large: {errv}"
 
     iters = 20 if on_tpu else 3
     t0 = time.perf_counter()

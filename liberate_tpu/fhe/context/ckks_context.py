@@ -76,31 +76,36 @@ def psi_bank(q: list[int], logN: int):
     Longa-Naehrig twiddle layout the reference pre-paints
     (reference: ckks_context.py:48-56, 89-112).
 
-    Returned as Python int lists (values can reach 2^62).
+    Returned as int64 numpy arrays [C, N] (values < 2^62 fit). Uses the
+    native C++ runtime when available (C x N modmuls are Python-bigint
+    bound at logN >= 16); the Python path is the validated fallback.
     """
+    from ... import native
+
     N = 2 ** logN
+    roots = [primitive_root_2N(qi, N) for qi in q]
+    iroots = [pow(r, -1, qi) for r, qi in zip(roots, q)]
+
+    if native.available() and all(qi < (1 << 63) for qi in q):
+        fwd, inv = native.psi_banks(q, roots, iroots, logN)
+        return fwd.astype(np.int64), inv.astype(np.int64)
+
     brev = [bit_reverse(i, logN) for i in range(N)]
-    psis, ipsis = [], []
-    for qi in q:
-        psi = primitive_root_2N(qi, N)
-        ipsi = pow(psi, -1, qi)
-        # Power series then permute to bit-reversed order.
-        fwd = [1] * N
-        inv = [1] * N
-        acc = 1
-        iacc = 1
+    psis = np.empty((len(q), N), dtype=np.int64)
+    ipsis = np.empty((len(q), N), dtype=np.int64)
+    for c, (qi, psi, ipsi) in enumerate(zip(q, roots, iroots)):
         series_f = [1] * N
         series_i = [1] * N
+        acc = 1
+        iacc = 1
         for i in range(1, N):
             acc = acc * psi % qi
             iacc = iacc * ipsi % qi
             series_f[i] = acc
             series_i[i] = iacc
         for i in range(N):
-            fwd[i] = series_f[brev[i]]
-            inv[i] = series_i[brev[i]]
-        psis.append(fwd)
-        ipsis.append(inv)
+            psis[c, i] = series_f[brev[i]]
+            ipsis[c, i] = series_i[brev[i]]
     return psis, ipsis
 
 

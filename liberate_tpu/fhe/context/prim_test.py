@@ -19,8 +19,13 @@ def miller_rabin(n: int, rounds: int | None = None) -> bool:
     ``rounds`` is accepted for API compatibility and ignored; the witness
     set is deterministic and exact in the relevant range.
     """
+    from ... import native
+
     if n < 2:
         return False
+    r_native = native.miller_rabin(n)
+    if r_native is not None:
+        return r_native
     for p in _SMALL_PRIMES:
         if n == p:
             return True

@@ -597,6 +597,20 @@ class CkksEngine:
                                 base_at)
         return scaled
 
+    def decrypt_double(self, ct: DataStruct, sk: DataStruct, final_round=True):
+        """Reference-compatible alias (reference: ckks_engine.py:535)."""
+        if ct.origin != types.origins["ct"]:
+            raise errors.NotMatchType(origin=ct.origin, to=types.origins["ct"])
+        return self.decrypt(ct, sk, final_round=final_round)
+
+    def decrypt_triplet(self, ct_mult: DataStruct, sk: DataStruct,
+                        final_round=True):
+        """Reference-compatible alias (reference: ckks_engine.py:482)."""
+        if ct_mult.origin != types.origins["ctt"]:
+            raise errors.NotMatchType(origin=ct_mult.origin,
+                                      to=types.origins["ctt"])
+        return self.decrypt(ct_mult, sk, final_round=final_round)
+
     def decrypt(self, ct: DataStruct, sk: DataStruct, final_round=True):
         """Decrypt to the signed base-prime plaintext poly [2, 1, N]
         (reference: ckks_engine.py:579-595)."""
@@ -1425,6 +1439,15 @@ class CkksEngine:
 
     def device_put(self, text: DataStruct) -> DataStruct:
         return jax.tree_util.tree_map(jnp.asarray, text)
+
+    def move_to(self, text: DataStruct, direction="gpu2cpu") -> DataStruct:
+        """Reference-compatible data movement (reference: ckks_engine.py:1872).
+        'gpu2cpu' fetches to host numpy; 'cpu2gpu' places on device."""
+        if direction == "gpu2cpu":
+            return self.cpu(text)
+        if direction == "cpu2gpu":
+            return self.device_put(text)
+        raise ValueError(f"unknown direction {direction!r}")
 
     def device(self, text: DataStruct) -> str:
         leaves = jax.tree_util.tree_leaves(text)

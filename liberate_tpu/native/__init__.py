@@ -1,0 +1,117 @@
+"""Native (C++) host-math runtime, loaded via ctypes.
+
+Compiled on demand with g++ into the user cache dir; every entry point has
+a pure-Python fallback in the context layer, so the package works without a
+compiler (the native path makes logN>=16 context generation seconds instead
+of minutes).
+"""
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _cache_dir() -> Path:
+    return Path(os.environ.get(
+        "LIBERATE_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "liberate_tpu")))
+
+
+def _build_and_load():
+    src = Path(__file__).with_name("hostmath.cpp")
+    code = src.read_bytes()
+    tag = hashlib.sha256(code).hexdigest()[:16]
+    out = _cache_dir() / f"hostmath_{tag}.so"
+    if not out.exists():
+        out.parent.mkdir(parents=True, exist_ok=True)
+        tmp = out.with_suffix(".so.tmp")
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", str(tmp), str(src)],
+            check=True, capture_output=True)
+        os.replace(tmp, out)
+    lib = ctypes.CDLL(str(out))
+
+    u64 = ctypes.c_uint64
+    i32 = ctypes.c_int32
+    p64 = ctypes.POINTER(ctypes.c_uint64)
+
+    lib.powmod_u64.restype = u64
+    lib.powmod_u64.argtypes = [u64, u64, u64]
+    lib.miller_rabin_u64.restype = i32
+    lib.miller_rabin_u64.argtypes = [u64]
+    lib.find_ntt_prime.restype = u64
+    lib.find_ntt_prime.argtypes = [u64, u64, i32]
+    lib.psi_banks.restype = None
+    lib.psi_banks.argtypes = [p64, p64, p64, i32, i32, p64, p64]
+    lib.primitive_root_2N.restype = u64
+    lib.primitive_root_2N.argtypes = [u64, u64]
+    return lib
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable."""
+    global _LIB, _TRIED
+    if not _TRIED:
+        _TRIED = True
+        try:
+            _LIB = _build_and_load()
+        except Exception:
+            _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+# -- typed wrappers ----------------------------------------------------------
+
+
+def miller_rabin(n: int):
+    """Exact 64-bit primality test; None if out of native range."""
+    lib = get_lib()
+    if lib is None or n >= (1 << 63):
+        return None
+    return bool(lib.miller_rabin_u64(n))
+
+
+def find_ntt_prime(start: int, M: int, up: bool):
+    lib = get_lib()
+    if lib is None or start >= (1 << 63):
+        return None
+    q = lib.find_ntt_prime(start, M, 1 if up else 0)
+    return int(q) or None
+
+
+def primitive_root_2N(q: int, N: int):
+    lib = get_lib()
+    if lib is None or q >= (1 << 63):
+        return None
+    return int(lib.primitive_root_2N(q, N))
+
+
+def psi_banks(qs, psis, ipsis, logN: int):
+    """Bit-reversed psi power banks for all channels: (fwd, inv) uint64
+    arrays of shape [C, N]; None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    qs = np.ascontiguousarray(np.asarray(qs, dtype=np.uint64))
+    psis = np.ascontiguousarray(np.asarray(psis, dtype=np.uint64))
+    ipsis = np.ascontiguousarray(np.asarray(ipsis, dtype=np.uint64))
+    C = qs.shape[0]
+    N = 1 << logN
+    fwd = np.empty((C, N), dtype=np.uint64)
+    inv = np.empty((C, N), dtype=np.uint64)
+    pp = ctypes.POINTER(ctypes.c_uint64)
+    lib.psi_banks(qs.ctypes.data_as(pp), psis.ctypes.data_as(pp),
+                  ipsis.ctypes.data_as(pp), C, logN,
+                  fwd.ctypes.data_as(pp), inv.ctypes.data_as(pp))
+    return fwd, inv

@@ -1,0 +1,111 @@
+// Native host math for parameter generation.
+//
+// The reference's native layer is CUDA compute kernels; this framework's
+// compute path is JAX/XLA on TPU, so the native layer instead accelerates
+// the host-side runtime: NTT-friendly prime search (deterministic
+// Miller-Rabin) and twiddle-bank generation (psi power series), which are
+// Python-bigint bound at logN >= 16 (128 primes x 131072 modmuls).
+// (reference equivalents: src/liberate/fhe/context/generate_primes.py,
+// ckks_context.py:48-112 — pure Python there, precomputed into shipped
+// pickles.)
+//
+// Plain C ABI, loaded with ctypes; all moduli < 2^62 so unsigned __int128
+// products never overflow.
+
+#include <cstdint>
+
+extern "C" {
+
+static inline uint64_t mulmod_u64(uint64_t a, uint64_t b, uint64_t q) {
+    return (uint64_t)(((unsigned __int128)a * b) % q);
+}
+
+uint64_t powmod_u64(uint64_t a, uint64_t e, uint64_t q) {
+    uint64_t r = 1 % q;
+    a %= q;
+    while (e) {
+        if (e & 1) r = mulmod_u64(r, a, q);
+        a = mulmod_u64(a, a, q);
+        e >>= 1;
+    }
+    return r;
+}
+
+// Deterministic Miller-Rabin, exact for all n < 2^64.
+static const uint64_t WITNESSES[12] = {2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37};
+static const uint64_t SMALL_PRIMES[15] = {2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47};
+
+int32_t miller_rabin_u64(uint64_t n) {
+    if (n < 2) return 0;
+    for (int i = 0; i < 15; ++i) {
+        if (n == SMALL_PRIMES[i]) return 1;
+        if (n % SMALL_PRIMES[i] == 0) return 0;
+    }
+    uint64_t d = n - 1;
+    int r = 0;
+    while ((d & 1) == 0) { d >>= 1; ++r; }
+    for (int i = 0; i < 12; ++i) {
+        uint64_t x = powmod_u64(WITNESSES[i], d, n);
+        if (x == 1 || x == n - 1) continue;
+        int composite = 1;
+        for (int j = 0; j < r - 1; ++j) {
+            x = mulmod_u64(x, x, n);
+            if (x == n - 1) { composite = 0; break; }
+        }
+        if (composite) return 0;
+    }
+    return 1;
+}
+
+// Next/previous prime q with q = 1 (mod M), stepping by 2 from `start`
+// (start must be odd). Returns 0 if the search leaves (2, 2^63).
+uint64_t find_ntt_prime(uint64_t start, uint64_t M, int32_t up) {
+    uint64_t q = start;
+    while (q > 2 && q < (1ULL << 63)) {
+        if ((q - 1) % M == 0 && miller_rabin_u64(q)) return q;
+        if (up) q += 2; else q -= 2;
+    }
+    return 0;
+}
+
+// psi power banks in bit-reversed order (reference: ckks_context.py:71-104):
+// out_fwd[c][i] = psi_c ^ bitrev(i, logN) mod q_c, likewise inverse.
+void psi_banks(const uint64_t* qs, const uint64_t* psis,
+               const uint64_t* ipsis, int32_t C, int32_t logN,
+               uint64_t* out_fwd, uint64_t* out_inv) {
+    const int64_t N = 1LL << logN;
+    for (int32_t c = 0; c < C; ++c) {
+        const uint64_t q = qs[c];
+        const uint64_t psi = psis[c];
+        const uint64_t ipsi = ipsis[c];
+        uint64_t* fwd = out_fwd + (int64_t)c * N;
+        uint64_t* inv = out_inv + (int64_t)c * N;
+        // Power series in natural order, scattered to bit-reversed index.
+        uint64_t acc = 1, iacc = 1;
+        for (int64_t i = 0; i < N; ++i) {
+            // bit-reverse i
+            uint64_t r = 0, x = (uint64_t)i;
+            for (int32_t b = 0; b < logN; ++b) { r = (r << 1) | (x & 1); x >>= 1; }
+            fwd[r] = acc;
+            inv[r] = iacc;
+            acc = mulmod_u64(acc, psi, q);
+            iacc = mulmod_u64(iacc, ipsi, q);
+        }
+    }
+}
+
+// Primitive 2N-th root search (reference: ckks_context.py:20-28): raise
+// candidates x = 2,3,... to the (q-1)/2N power; return the first whose
+// N-th power is not 1.
+uint64_t primitive_root_2N(uint64_t q, uint64_t N) {
+    uint64_t K = (q - 1) / (2 * N);
+    uint64_t g = 0;
+    uint64_t limit = N > 3 ? N : 3;
+    for (uint64_t x = 2; x < limit; ++x) {
+        g = powmod_u64(x, K, q);
+        if (powmod_u64(g, N, q) != 1) break;
+    }
+    return g;
+}
+
+}  // extern "C"
