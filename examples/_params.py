@@ -1,0 +1,18 @@
+"""Shared example-parameter selection."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import liberate_tpu  # noqa: E402
+
+
+def example_params(argv):
+    """Preset name from argv, else a small CPU-friendly configuration."""
+    if len(argv) > 1:
+        p = dict(liberate_tpu.params.params[argv[1]])
+        p.pop("mesh_shape", None)
+        return p
+    return dict(logN=10, scale_bits=30, num_scales=6, num_special_primes=2,
+                is_secured=False, seed=1)

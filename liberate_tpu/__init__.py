@@ -20,6 +20,7 @@ multiparty (threshold) FHE — redesigned TPU-first:
 """
 
 from .version import VERSION
+from . import config
 from .fhe.data_struct import DataStruct, data_struct
 from .fhe.presets import errors, params, types
 

@@ -1,0 +1,34 @@
+"""Global backend configuration.
+
+The compute path is chosen per polynomial-op at trace time:
+
+- "pallas": fused TPU kernels (liberate_tpu.ntt.pallas_ntt) — the NTT/iNTT
+  run all stages in VMEM (13x faster than the XLA fallback on v5e).
+- "xla": portable jnp path (ops.py) — used on CPU, for the virtual-device
+  sharded mesh (GSPMD cannot partition pallas_call automatically), and as
+  the bit-exact oracle for the kernels.
+
+Resolution: ``use_pallas`` tristate; None (default) auto-detects TPU.
+"""
+
+import os
+
+# None = auto (TPU -> pallas), True/False = forced.
+use_pallas = None
+
+# Run Pallas kernels in interpreter mode (testing on CPU).
+pallas_interpret = False
+
+
+def pallas_enabled() -> bool:
+    if use_pallas is not None:
+        return use_pallas
+    env = os.environ.get("LIBERATE_TPU_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False

@@ -307,8 +307,12 @@ class CkksEngine:
 
     def __init__(self, devices=None, verbose: bool = False,
                  bias_guard: bool = True, norm: str = "forward",
-                 seed=None, **ctx_params):
+                 seed=None, mesh_shape=None, **ctx_params):
         _enable_compile_cache()
+        # mesh_shape is the TPU analogue of the reference's ``devices`` list:
+        # how many chips the RNS channel axis spans (see liberate_tpu.parallel).
+        self.mesh_shape = mesh_shape
+        self.devices = devices
         self.bias_guard = bias_guard
         self.norm = norm
 

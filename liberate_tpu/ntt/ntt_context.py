@@ -38,6 +38,10 @@ class LevelPack(NamedTuple):
     Ninv: jnp.ndarray        # [2, C] packed N^{-1} R mod q
     psi: Optional[jnp.ndarray]   # fwd twiddle bank [2, C, N], bit-reversed
     ipsi: Optional[jnp.ndarray]  # inv twiddle bank [2, C, N]
+    # Fused TPU kernel plan (pallas_ntt.PallasPlan) or None -> XLA path.
+    # Presence/absence is part of the pytree structure, so jit dispatch
+    # between the two backends is a trace-time decision.
+    pallas: Optional[object] = None
 
 
 class PartPlan(NamedTuple):
@@ -149,12 +153,15 @@ class NttContext:
         N = self.ctx.N
         logN = self.logN
         psi = ipsi = None
+        pallas_plan = None
         if with_psi:
             # Full bit-reverse-ordered banks [2, C, N]; stage s addresses
             # entries [2^s : 2^{s+1}) via the shared index banks in ops.
             psi = jnp.asarray(self._psi_mont[:, idx, :])
             ipsi = jnp.asarray(self._ipsi_mont[:, idx, :])
+            pallas_plan = self._maybe_pallas_plan(idx)
         return LevelPack(
+            pallas=pallas_plan,
             ql=jnp.asarray(self._ql[idx]),
             qh=jnp.asarray(self._qh[idx]),
             kl=jnp.asarray(self._kl[idx]),
@@ -173,6 +180,34 @@ class NttContext:
             start, stop = self.channel_range(level, mult_type)
             self._level_packs[key] = self._make_pack(np.arange(start, stop))
         return self._level_packs[key]
+
+    def _maybe_pallas_plan(self, idx):
+        """A pallas_ntt plan for this channel set, when the Pallas backend
+        is enabled (TPU) and the transform is large enough (logN >= 8)."""
+        from .. import config
+
+        if not config.pallas_enabled() or self.logN < 8:
+            return None
+        from . import pallas_ntt
+
+        ctx = self.ctx
+        psi_u64 = (self._psi_mont[0, idx].astype(np.uint64)
+                   | (self._psi_mont[1, idx].astype(np.uint64) << 32))
+        ipsi_u64 = (self._ipsi_mont[0, idx].astype(np.uint64)
+                    | (self._ipsi_mont[1, idx].astype(np.uint64) << 32))
+        q = [ctx.q[i] for i in idx]
+        return pallas_ntt.make_plan(
+            self.logN,
+            q,
+            [ctx.k[i] for i in idx],
+            [ctx.R_square[i] for i in idx],
+            [(ctx.N_inv[i] * ctx.R) % ctx.q[i] for i in idx],
+            psi_u64, ipsi_u64,
+        )
+
+    def pallas_plan(self, level: int = 0, mult_type: int = -1):
+        """The Pallas plan of a level pack (None on the XLA backend)."""
+        return self.level_pack(level, mult_type).pallas
 
     # -- key-switching part plans -----------------------------------------------
 

@@ -111,12 +111,17 @@ def mont_redc_signed(a, pack):
 
 
 def pack_slice(pack, start, stop, with_psi=False):
-    """Restrict a LevelPack to the channel slice [start, stop)."""
+    """Restrict a LevelPack to the channel slice [start, stop).
+
+    The sliced pack is for pointwise ops only: the Pallas plan is dropped
+    (its twiddle planes are full-layout).
+    """
     psi = ipsi = None
     if with_psi and pack.psi is not None:
         psi = pack.psi[:, start:stop]
         ipsi = pack.ipsi[:, start:stop]
     return pack._replace(
+        pallas=None,
         ql=pack.ql[start:stop], qh=pack.qh[start:stop],
         kl=pack.kl[start:stop], kh=pack.kh[start:stop],
         q2=pack.q2[:, start:stop], Rs=pack.Rs[:, start:stop],
@@ -262,7 +267,15 @@ def ntt(a, pack, signed=False):
     wrapped-negative — the key-switching basis-extension outputs
     (reference: ckks_engine.py:917-920); the lazy [0, 2q) fast path assumes
     non-negative inputs < 2^62.
+
+    Dispatches to the fused Pallas TPU kernel when the pack carries a plan.
     """
+    if pack.pallas is not None:
+        from .. import config
+        from . import pallas_ntt
+
+        return pallas_ntt.ntt(a, pack.pallas, signed=signed,
+                              interpret=config.pallas_interpret)
     mm = u64.montmul_signed if signed else u64.montmul
     N = a.shape[-1]
     logN = N.bit_length() - 1
@@ -318,6 +331,12 @@ def intt_no_norm(a, pack, signed=False):
 
 def intt(a, pack, signed=False):
     """Inverse NTT with N^{-1} normalization (Ninv = N^{-1}*R mod q)."""
+    if pack.pallas is not None:
+        from .. import config
+        from . import pallas_ntt
+
+        return pallas_ntt.intt(a, pack.pallas, signed=signed,
+                               interpret=config.pallas_interpret)
     a = intt_no_norm(a, pack, signed=signed)
     b = _bcast_scalar(pack.Ninv, a.ndim)
     return (mont_mult_signed if signed else mont_mult)(a, b, pack)
@@ -327,16 +346,35 @@ def intt(a, pack, signed=False):
 
 
 def enter_ntt(a, pack):
+    if pack.pallas is not None:
+        from .. import config
+        from . import pallas_ntt
+
+        return pallas_ntt.ntt(a, pack.pallas, pre_enter=True,
+                              interpret=config.pallas_interpret)
     return ntt(mont_enter(a, pack), pack)
 
 
 def intt_exit(a, pack, signed=False):
+    if pack.pallas is not None:
+        from .. import config
+        from . import pallas_ntt
+
+        return pallas_ntt.intt(a, pack.pallas, signed=signed, post_exit=True,
+                               interpret=config.pallas_interpret)
     if signed:
         return mont_redc_signed(intt(a, pack, signed=True), pack)
     return mont_redc(intt(a, pack), pack)
 
 
 def intt_exit_reduce(a, pack, signed=False):
+    if pack.pallas is not None:
+        from .. import config
+        from . import pallas_ntt
+
+        return pallas_ntt.intt(a, pack.pallas, signed=signed, post_exit=True,
+                               post_reduce=True,
+                               interpret=config.pallas_interpret)
     return reduce_2q(intt_exit(a, pack, signed=signed), pack)
 
 

@@ -1,0 +1,412 @@
+"""Fused Pallas TPU kernels for the negacyclic NTT / iNTT.
+
+The XLA fallback in ops.py expresses butterflies as gathers/scatters, which
+lower poorly on TPU (vector lanes cannot be shuffled cheaply). This kernel
+runs ALL logN stages of one channel's transform inside VMEM with zero
+gathers, using the (sublane, lane) = (N/128, 128) matrix view:
+
+- Stages with butterfly span t >= 128 ("row stages") pair whole sublane
+  rows: a reshape of the sublane axis makes the even/odd halves contiguous,
+  and the twiddle is one scalar per row-pair (precomputed ``row_tw`` plane).
+- The last 7 stages ("lane stages", t < 128) pair elements WITHIN a row.
+  One 2D transpose moves the lane axis onto sublanes, the 7 stages become
+  row stages in the transposed layout (twiddles precomputed per (block,
+  original-row) in the ``lane_tw`` plane), and a second transpose restores
+  the layout. Two transposes replace 7 stages of lane shuffles.
+
+The butterfly network (and thus the output bit-reversed ordering and every
+lazy [0,2q) representative) is identical to ops.ntt/ops.intt — the kernels
+are drop-in, bit-exact replacements, validated in tests/test_pallas.py.
+
+Reference equivalent: the per-stage CUDA kernel launches
+(src/liberate/ntt/ntt_cuda_kernel.cu:237-548); here one kernel = one full
+transform and HBM traffic is a single read+write of the polynomial.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import u64
+
+LANES = 128
+LANE_STAGES = 7  # stages whose butterfly span t < 128
+
+
+# ---------------------------------------------------------------------------
+# Host-side twiddle plane construction.
+# ---------------------------------------------------------------------------
+
+
+def lane_tw_offsets(logN: int):
+    """(offsets, ks): lane stage i (global stage logN-7+i) has
+    k = 128/(2t) blocks per 128-lane row; its [k, R] twiddle plane sits at
+    row ``offsets[i]`` of the flat lane_tw plane (sum of k = 127)."""
+    ks = []
+    for s in range(logN - LANE_STAGES, logN):
+        t = 1 << (logN - 1 - s)
+        ks.append(LANES // (2 * t))
+    offsets = np.concatenate([[0], np.cumsum(ks)[:-1]]).astype(int)
+    return offsets, ks
+
+
+def build_tw_planes(bank: np.ndarray, logN: int):
+    """Twiddle planes from a bit-reversed Montgomery twiddle bank [C, N].
+
+    Returns (row_tw [C, n_row, R//2], lane_tw [C, 127, R]) as uint64. Row
+    stage s uses row_tw[:, s, :m] (m = 2^s); lane stage i uses
+    lane_tw[:, off_i : off_i + k_i, :] where entry [j, r] is the twiddle of
+    block B = r*k + j (bank[m + B]).
+    """
+    N = 1 << logN
+    R = N // LANES
+    C = bank.shape[0]
+    n_row = logN - LANE_STAGES
+
+    row_tw = np.zeros((C, n_row, max(R // 2, 1), 1), dtype=np.uint64)
+    for s in range(n_row):
+        m = 1 << s
+        row_tw[:, s, :m, 0] = bank[:, m:2 * m]
+
+    offsets, ks = lane_tw_offsets(logN)
+    lane_tw = np.zeros((C, int(np.sum(ks)), R), dtype=np.uint64)
+    r = np.arange(R)
+    for i, (off, k) in enumerate(zip(offsets, ks)):
+        s = logN - LANE_STAGES + i
+        m = 1 << s
+        for j in range(k):
+            lane_tw[:, off + j, :] = bank[:, m + r * k + j]
+    return row_tw, lane_tw
+
+
+# ---------------------------------------------------------------------------
+# In-kernel butterfly phases (uint32 (lo, hi) value pairs).
+# ---------------------------------------------------------------------------
+
+
+def _mm(a, b, c, signed):
+    if signed:
+        return u64.montmul_signed(a, b, c["ql"], c["qh"], c["kl"], c["kh"])
+    # Unsigned path: twiddle operand first (identical, keeps XLA-path parity).
+    return u64.montmul(b, a, c["ql"], c["qh"], c["kl"], c["kh"])
+
+
+def _cond_sub(v, q2):
+    over = ~u64.lt_signed(v, q2)
+    return u64.select(over, u64.sub(v, q2), v)
+
+
+def _row_stages_fwd(lo, hi, rtl, rth, c, logN, signed):
+    """Cooley-Tukey stages with t >= 128 on the [R, 128] view."""
+    R = lo.shape[0]
+    q2 = (c["q2l"], c["q2h"])
+    for s in range(logN - LANE_STAGES):
+        m = 1 << s
+        th = R // (2 * m)
+        vl = lo.reshape(m, 2, th, LANES)
+        vh = hi.reshape(m, 2, th, LANES)
+        U = (vl[:, 0], vh[:, 0])
+        O = (vl[:, 1], vh[:, 1])
+        # Two-step broadcast: Mosaic cannot splat sublanes+lanes at once.
+        S = (jnp.broadcast_to(rtl[s, :m][:, None, :], (m, th, 1)),
+             jnp.broadcast_to(rth[s, :m][:, None, :], (m, th, 1)))
+        V = _mm(O, S, c, signed)
+        even = _cond_sub(u64.add(U, V), q2)
+        odd = _cond_sub(u64.sub(u64.add(U, q2), V), q2)
+        lo = jnp.stack([even[0], odd[0]], axis=1).reshape(R, LANES)
+        hi = jnp.stack([even[1], odd[1]], axis=1).reshape(R, LANES)
+    return lo, hi
+
+
+def _lane_stages_fwd(lo, hi, ltl, lth, c, logN, signed):
+    """The last 7 CT stages, on the TRANSPOSED [128, R] view."""
+    R = lo.shape[0]
+    q2 = (c["q2l"], c["q2h"])
+    lo = lo.T
+    hi = hi.T
+    offsets, ks = lane_tw_offsets(logN)
+    for i, (off, k) in enumerate(zip(offsets, ks)):
+        t = LANES // (2 * k)
+        vl = lo.reshape(k, 2, t, R)
+        vh = hi.reshape(k, 2, t, R)
+        U = (vl[:, 0], vh[:, 0])
+        O = (vl[:, 1], vh[:, 1])
+        S = (ltl[off:off + k][:, None, :], lth[off:off + k][:, None, :])
+        V = _mm(O, S, c, signed)
+        even = _cond_sub(u64.add(U, V), q2)
+        odd = _cond_sub(u64.sub(u64.add(U, q2), V), q2)
+        lo = jnp.stack([even[0], odd[0]], axis=1).reshape(LANES, R)
+        hi = jnp.stack([even[1], odd[1]], axis=1).reshape(LANES, R)
+    return lo.T, hi.T
+
+
+def _lane_stages_inv(lo, hi, ltl, lth, c, logN, signed):
+    """The first 7 Gentleman-Sande stages, transposed view."""
+    R = lo.shape[0]
+    q2 = (c["q2l"], c["q2h"])
+    lo = lo.T
+    hi = hi.T
+    offsets, ks = lane_tw_offsets(logN)
+    for i in reversed(range(LANE_STAGES)):
+        off, k = int(offsets[i]), int(ks[i])
+        t = LANES // (2 * k)
+        vl = lo.reshape(k, 2, t, R)
+        vh = hi.reshape(k, 2, t, R)
+        U = (vl[:, 0], vh[:, 0])
+        V = (vl[:, 1], vh[:, 1])
+        S = (ltl[off:off + k][:, None, :], lth[off:off + k][:, None, :])
+        O = _cond_sub(u64.sub(u64.add(U, q2), V), q2)
+        W = _mm(O, S, c, signed)
+        even = _cond_sub(u64.add(U, V), q2)
+        lo = jnp.stack([even[0], W[0]], axis=1).reshape(LANES, R)
+        hi = jnp.stack([even[1], W[1]], axis=1).reshape(LANES, R)
+    return lo.T, hi.T
+
+
+def _row_stages_inv(lo, hi, rtl, rth, c, logN, signed):
+    """Gentleman-Sande stages with t >= 128, natural [R, 128] view."""
+    R = lo.shape[0]
+    q2 = (c["q2l"], c["q2h"])
+    for s in reversed(range(logN - LANE_STAGES)):
+        m = 1 << s
+        th = R // (2 * m)
+        if th == 1:
+            # 3D view: the 4D th=1 form trips a Mosaic layout-inference bug
+            # in the GS ordering (crash in tpu_compile_helper).
+            vl = lo.reshape(m, 2, LANES)
+            vh = hi.reshape(m, 2, LANES)
+            U = (vl[:, 0], vh[:, 0])
+            V = (vl[:, 1], vh[:, 1])
+            S = (rtl[s, :m], rth[s, :m])  # [m, 1] -> lane broadcast
+            O = _cond_sub(u64.sub(u64.add(U, q2), V), q2)
+            W = _mm(O, S, c, signed)
+            even = _cond_sub(u64.add(U, V), q2)
+            lo = jnp.stack([even[0], W[0]], axis=1).reshape(R, LANES)
+            hi = jnp.stack([even[1], W[1]], axis=1).reshape(R, LANES)
+            continue
+        vl = lo.reshape(m, 2, th, LANES)
+        vh = hi.reshape(m, 2, th, LANES)
+        U = (vl[:, 0], vh[:, 0])
+        V = (vl[:, 1], vh[:, 1])
+        S = (jnp.broadcast_to(rtl[s, :m][:, None, :], (m, th, 1)),
+             jnp.broadcast_to(rth[s, :m][:, None, :], (m, th, 1)))
+        O = _cond_sub(u64.sub(u64.add(U, q2), V), q2)
+        W = _mm(O, S, c, signed)
+        even = _cond_sub(u64.add(U, V), q2)
+        lo = jnp.stack([even[0], W[0]], axis=1).reshape(R, LANES)
+        hi = jnp.stack([even[1], W[1]], axis=1).reshape(R, LANES)
+    return lo, hi
+
+
+# ---------------------------------------------------------------------------
+# Kernels. Ref shapes carry singleton batch/channel dims from the BlockSpecs:
+# consts [10, 1] (SMEM); x/o [2, 1, 1, R, 128]; row_tw [2, 1, n_row, R/2];
+# lane_tw [2, 1, 127, R].
+# ---------------------------------------------------------------------------
+
+
+def _read_consts(cref):
+    ch = pl.program_id(1)
+    return {
+        "ql": cref[0, ch], "qh": cref[1, ch], "kl": cref[2, ch],
+        "kh": cref[3, ch], "q2l": cref[4, ch], "q2h": cref[5, ch],
+    }
+
+
+def _final_reduce(lo, hi, c):
+    q2 = (c["q2l"], c["q2h"])
+    q = u64.shr(q2, 1)
+    ok = u64.lt_signed((lo, hi), q)
+    red = u64.sub((lo, hi), q)
+    return jnp.where(ok, lo, red[0]), jnp.where(ok, hi, red[1])
+
+
+def _ntt_kernel(cref, x_ref, rowtw_ref, lanetw_ref, o_ref, *,
+                logN, signed, pre_enter, post_reduce):
+    c = _read_consts(cref)
+    lo = x_ref[0, 0, 0]
+    hi = x_ref[1, 0, 0]
+    if pre_enter:
+        ch = pl.program_id(1)
+        S = (cref[6, ch], cref[7, ch])
+        lo, hi = _mm((lo, hi), S, c, signed)
+    lo, hi = _row_stages_fwd(lo, hi, rowtw_ref[0, 0], rowtw_ref[1, 0],
+                             c, logN, signed)
+    lo, hi = _lane_stages_fwd(lo, hi, lanetw_ref[0, 0], lanetw_ref[1, 0],
+                              c, logN, signed)
+    if post_reduce:
+        lo, hi = _final_reduce(lo, hi, c)
+    o_ref[0, 0, 0] = lo
+    o_ref[1, 0, 0] = hi
+
+
+def _intt_kernel(cref, x_ref, rowtw_ref, lanetw_ref, o_ref, *,
+                 logN, signed, post_exit, post_reduce):
+    c = _read_consts(cref)
+    lo = x_ref[0, 0, 0]
+    hi = x_ref[1, 0, 0]
+    lo, hi = _lane_stages_inv(lo, hi, lanetw_ref[0, 0], lanetw_ref[1, 0],
+                              c, logN, signed)
+    lo, hi = _row_stages_inv(lo, hi, rowtw_ref[0, 0], rowtw_ref[1, 0],
+                             c, logN, signed)
+    ch = pl.program_id(1)
+    S = (cref[6, ch], cref[7, ch])  # Ninv (Montgomery form)
+    lo, hi = _mm((lo, hi), S, c, signed)
+    if post_exit:
+        f = u64.montredc_signed if signed else u64.montredc
+        lo, hi = f((lo, hi), c["ql"], c["qh"], c["kl"], c["kh"])
+    if post_reduce:
+        lo, hi = _final_reduce(lo, hi, c)
+    o_ref[0, 0, 0] = lo
+    o_ref[1, 0, 0] = hi
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers.
+# ---------------------------------------------------------------------------
+
+
+def _call(kernel, a, consts, row_tw, lane_tw, interpret):
+    """Launch over (batch, channel). a: [2, C, N] or [2, B, C, N]."""
+    batched = a.ndim == 4
+    if not batched:
+        a = a[:, None]
+    _, B, C, N = a.shape
+    R = N // LANES
+    n_row = row_tw.shape[2]
+    n_lane = lane_tw.shape[2]
+    av = a.reshape(2, B, C, R, LANES)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, C),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, 1, 1, R, LANES), lambda b, c: (0, b, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, n_row, row_tw.shape[3], 1),
+                         lambda b, c: (0, c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, n_lane, R), lambda b, c: (0, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, 1, 1, R, LANES),
+                               lambda b, c: (0, b, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(av.shape, av.dtype),
+        interpret=interpret,
+    )(consts, av, row_tw, lane_tw)
+
+    out = out.reshape(2, B, C, N)
+    return out if batched else out[:, 0]
+
+
+def ntt(a, plan, signed=False, pre_enter=False, post_reduce=False,
+        interpret=False):
+    """Forward NTT over packed [2, C, N] or batched [2, B, C, N]."""
+    kern = functools.partial(_ntt_kernel, logN=plan.logN, signed=signed,
+                             pre_enter=pre_enter, post_reduce=post_reduce)
+    consts = plan.consts_enter if pre_enter else plan.consts
+    return _call(kern, a, consts, plan.row_tw, plan.lane_tw, interpret)
+
+
+def intt(a, plan, signed=False, post_exit=False, post_reduce=False,
+         interpret=False):
+    kern = functools.partial(_intt_kernel, logN=plan.logN, signed=signed,
+                             post_exit=post_exit, post_reduce=post_reduce)
+    return _call(kern, a, plan.consts_ninv, plan.row_itw, plan.lane_itw,
+                 interpret)
+
+
+# ---------------------------------------------------------------------------
+# Plan: per-pack precomputed tables.
+# ---------------------------------------------------------------------------
+
+
+class PallasPlan:
+    """Precomputed twiddle planes + per-channel constant rows for one
+    channel layout. Constant rows (uint32 [10, C]):
+    ql qh kl kh q2lo q2hi aux_lo aux_hi pad pad — aux is R^2 for the fused
+    forward enter, Ninv for the inverse normalization."""
+
+    def __init__(self, logN, consts, consts_enter, consts_ninv,
+                 row_tw, lane_tw, row_itw, lane_itw):
+        self.logN = logN
+        self.consts = consts
+        self.consts_enter = consts_enter
+        self.consts_ninv = consts_ninv
+        self.row_tw = row_tw
+        self.lane_tw = lane_tw
+        self.row_itw = row_itw
+        self.lane_itw = lane_itw
+
+    def tree_flatten(self):
+        leaves = (self.consts, self.consts_enter, self.consts_ninv,
+                  self.row_tw, self.lane_tw, self.row_itw, self.lane_itw)
+        return leaves, self.logN
+
+    @classmethod
+    def tree_unflatten(cls, logN, leaves):
+        return cls(logN, *leaves)
+
+
+jax.tree_util.register_pytree_node(
+    PallasPlan, lambda p: p.tree_flatten(), PallasPlan.tree_unflatten)
+
+
+def _pack_u64(arr):
+    """uint64 [...] -> packed uint32 [2, ...]."""
+    arr = np.asarray(arr, dtype=np.uint64)
+    return np.stack([(arr & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                     (arr >> np.uint64(32)).astype(np.uint32)])
+
+
+def make_plan(logN, q, k, Rs, Ninv, psi_bank_mont, ipsi_bank_mont):
+    """Build a PallasPlan.
+
+    q, k: python-int lists (k = -q^{-1} mod R, R = 2^62). Rs = R^2 mod q.
+    Ninv = N^{-1}*R mod q. psi banks: [C, N] Montgomery-form bit-reversed
+    twiddles (identical lazy representatives to the XLA path).
+    """
+    C = len(q)
+    LB = (1 << 31) - 1
+
+    def u32row(vals):
+        return np.asarray(vals, dtype=np.uint64).astype(np.uint32)
+
+    base = np.zeros((10, C), dtype=np.uint32)
+    base[0] = u32row([qi & LB for qi in q])
+    base[1] = u32row([qi >> 31 for qi in q])
+    base[2] = u32row([ki & LB for ki in k])
+    base[3] = u32row([ki >> 31 for ki in k])
+    base[4] = u32row([(2 * qi) & 0xFFFFFFFF for qi in q])
+    base[5] = u32row([(2 * qi) >> 32 for qi in q])
+
+    consts = base.copy()
+    consts_enter = base.copy()
+    consts_enter[6] = u32row([v & 0xFFFFFFFF for v in Rs])
+    consts_enter[7] = u32row([v >> 32 for v in Rs])
+    consts_ninv = base.copy()
+    consts_ninv[6] = u32row([v & 0xFFFFFFFF for v in Ninv])
+    consts_ninv[7] = u32row([v >> 32 for v in Ninv])
+
+    fwd = np.asarray(psi_bank_mont).view(np.uint64) \
+        if np.asarray(psi_bank_mont).dtype == np.int64 \
+        else np.asarray(psi_bank_mont, dtype=np.uint64)
+    inv = np.asarray(ipsi_bank_mont).view(np.uint64) \
+        if np.asarray(ipsi_bank_mont).dtype == np.int64 \
+        else np.asarray(ipsi_bank_mont, dtype=np.uint64)
+    row_tw, lane_tw = build_tw_planes(fwd, logN)
+    row_itw, lane_itw = build_tw_planes(inv, logN)
+
+    return PallasPlan(
+        logN,
+        jnp.asarray(consts), jnp.asarray(consts_enter),
+        jnp.asarray(consts_ninv),
+        jnp.asarray(_pack_u64(row_tw)), jnp.asarray(_pack_u64(lane_tw)),
+        jnp.asarray(_pack_u64(row_itw)), jnp.asarray(_pack_u64(lane_itw)),
+    )
