@@ -7,10 +7,10 @@ or preset parameters on TPU (`python examples/01_ckks_engine.py silver`).
 
 import sys
 
+from _params import example_params  # noqa: F401 (sets sys.path)
+
 import liberate_tpu
 from liberate_tpu.utils import check_errors
-
-from _params import example_params  # noqa: E402
 
 
 def main():

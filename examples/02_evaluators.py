@@ -7,8 +7,9 @@ import sys
 
 import numpy as np
 
+from _params import example_params  # noqa: F401 (sets sys.path)
+
 import liberate_tpu
-from _params import example_params
 
 
 def main():

@@ -11,7 +11,7 @@ import liberate_tpu  # noqa: E402
 def example_params(argv):
     """Preset name from argv, else a small CPU-friendly configuration."""
     if len(argv) > 1:
-        p = dict(liberate_tpu.params.params[argv[1]])
+        p = dict(liberate_tpu.params[argv[1]])
         p.pop("mesh_shape", None)
         return p
     return dict(logN=10, scale_bits=30, num_scales=6, num_special_primes=2,

@@ -186,7 +186,12 @@ class NttContext:
         is enabled (TPU) and the transform is large enough (logN >= 8)."""
         from .. import config
 
-        if not config.pallas_enabled() or self.logN < 8:
+        # logN 8..15: the fused kernels compile cleanly. At logN >= 16 the
+        # Mosaic register allocator crashes on several of the generated
+        # kernels (dynamic twiddle-plane operands at R >= 512); those
+        # presets currently fall back to the XLA path. TODO(round 2):
+        # grid-tile the row phase or file the Mosaic repro upstream.
+        if not config.pallas_enabled() or not (8 <= self.logN <= 15):
             return None
         from . import pallas_ntt
 

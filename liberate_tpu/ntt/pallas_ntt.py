@@ -67,10 +67,13 @@ def build_tw_planes(bank: np.ndarray, logN: int):
     C = bank.shape[0]
     n_row = logN - LANE_STAGES
 
-    row_tw = np.zeros((C, n_row, max(R // 2, 1), 1), dtype=np.uint64)
+    # Lane-oriented [C, n_row, 1, R/2]: a sublane-oriented trailing-1 layout
+    # crashes Mosaic when the plane is a dynamic kernel operand at R >= 512;
+    # kernels transpose each stage's [1, R/2] slice to [R/2, 1] in-VMEM.
+    row_tw = np.zeros((C, n_row, 1, max(R // 2, 1)), dtype=np.uint64)
     for s in range(n_row):
         m = 1 << s
-        row_tw[:, s, :m, 0] = bank[:, m:2 * m]
+        row_tw[:, s, 0, :m] = bank[:, m:2 * m]
 
     offsets, ks = lane_tw_offsets(logN)
     lane_tw = np.zeros((C, int(np.sum(ks)), R), dtype=np.uint64)
@@ -107,13 +110,28 @@ def _row_stages_fwd(lo, hi, rtl, rth, c, logN, signed):
     for s in range(logN - LANE_STAGES):
         m = 1 << s
         th = R // (2 * m)
+        rtl_s = jnp.swapaxes(rtl[s], 0, 1)  # [R/2, 1] sublane-oriented
+        rth_s = jnp.swapaxes(rth[s], 0, 1)
+        if th == 1:
+            # 3D view: the 4D th=1 form trips Mosaic layout inference.
+            vl = lo.reshape(m, 2, LANES)
+            vh = hi.reshape(m, 2, LANES)
+            U = (vl[:, 0], vh[:, 0])
+            O = (vl[:, 1], vh[:, 1])
+            S = (rtl_s[:m], rth_s[:m])  # [m, 1] -> lane broadcast
+            V = _mm(O, S, c, signed)
+            even = _cond_sub(u64.add(U, V), q2)
+            odd = _cond_sub(u64.sub(u64.add(U, q2), V), q2)
+            lo = jnp.stack([even[0], odd[0]], axis=1).reshape(R, LANES)
+            hi = jnp.stack([even[1], odd[1]], axis=1).reshape(R, LANES)
+            continue
         vl = lo.reshape(m, 2, th, LANES)
         vh = hi.reshape(m, 2, th, LANES)
         U = (vl[:, 0], vh[:, 0])
         O = (vl[:, 1], vh[:, 1])
         # Two-step broadcast: Mosaic cannot splat sublanes+lanes at once.
-        S = (jnp.broadcast_to(rtl[s, :m][:, None, :], (m, th, 1)),
-             jnp.broadcast_to(rth[s, :m][:, None, :], (m, th, 1)))
+        S = (jnp.broadcast_to(rtl_s[:m][:, None, :], (m, th, 1)),
+             jnp.broadcast_to(rth_s[:m][:, None, :], (m, th, 1)))
         V = _mm(O, S, c, signed)
         even = _cond_sub(u64.add(U, V), q2)
         odd = _cond_sub(u64.sub(u64.add(U, q2), V), q2)
@@ -174,6 +192,8 @@ def _row_stages_inv(lo, hi, rtl, rth, c, logN, signed):
     for s in reversed(range(logN - LANE_STAGES)):
         m = 1 << s
         th = R // (2 * m)
+        rtl_s = jnp.swapaxes(rtl[s], 0, 1)  # [R/2, 1] sublane-oriented
+        rth_s = jnp.swapaxes(rth[s], 0, 1)
         if th == 1:
             # 3D view: the 4D th=1 form trips a Mosaic layout-inference bug
             # in the GS ordering (crash in tpu_compile_helper).
@@ -181,7 +201,7 @@ def _row_stages_inv(lo, hi, rtl, rth, c, logN, signed):
             vh = hi.reshape(m, 2, LANES)
             U = (vl[:, 0], vh[:, 0])
             V = (vl[:, 1], vh[:, 1])
-            S = (rtl[s, :m], rth[s, :m])  # [m, 1] -> lane broadcast
+            S = (rtl_s[:m], rth_s[:m])  # [m, 1] -> lane broadcast
             O = _cond_sub(u64.sub(u64.add(U, q2), V), q2)
             W = _mm(O, S, c, signed)
             even = _cond_sub(u64.add(U, V), q2)
@@ -192,8 +212,8 @@ def _row_stages_inv(lo, hi, rtl, rth, c, logN, signed):
         vh = hi.reshape(m, 2, th, LANES)
         U = (vl[:, 0], vh[:, 0])
         V = (vl[:, 1], vh[:, 1])
-        S = (jnp.broadcast_to(rtl[s, :m][:, None, :], (m, th, 1)),
-             jnp.broadcast_to(rth[s, :m][:, None, :], (m, th, 1)))
+        S = (jnp.broadcast_to(rtl_s[:m][:, None, :], (m, th, 1)),
+             jnp.broadcast_to(rth_s[:m][:, None, :], (m, th, 1)))
         O = _cond_sub(u64.sub(u64.add(U, q2), V), q2)
         W = _mm(O, S, c, signed)
         even = _cond_sub(u64.add(U, V), q2)
@@ -226,41 +246,47 @@ def _final_reduce(lo, hi, c):
 
 
 def _ntt_kernel(cref, x_ref, rowtw_ref, lanetw_ref, o_ref, *,
-                logN, signed, pre_enter, post_reduce):
+                logN, signed, pre_enter, post_reduce,
+                do_rows=True, do_lanes=True):
     c = _read_consts(cref)
     lo = x_ref[0, 0, 0]
     hi = x_ref[1, 0, 0]
-    if pre_enter:
+    if pre_enter and do_rows:
         ch = pl.program_id(1)
         S = (cref[6, ch], cref[7, ch])
         lo, hi = _mm((lo, hi), S, c, signed)
-    lo, hi = _row_stages_fwd(lo, hi, rowtw_ref[0, 0], rowtw_ref[1, 0],
-                             c, logN, signed)
-    lo, hi = _lane_stages_fwd(lo, hi, lanetw_ref[0, 0], lanetw_ref[1, 0],
-                              c, logN, signed)
-    if post_reduce:
+    if do_rows:
+        lo, hi = _row_stages_fwd(lo, hi, rowtw_ref[0, 0], rowtw_ref[1, 0],
+                                 c, logN, signed)
+    if do_lanes:
+        lo, hi = _lane_stages_fwd(lo, hi, lanetw_ref[0, 0], lanetw_ref[1, 0],
+                                  c, logN, signed)
+    if post_reduce and do_lanes:
         lo, hi = _final_reduce(lo, hi, c)
     o_ref[0, 0, 0] = lo
     o_ref[1, 0, 0] = hi
 
 
 def _intt_kernel(cref, x_ref, rowtw_ref, lanetw_ref, o_ref, *,
-                 logN, signed, post_exit, post_reduce):
+                 logN, signed, post_exit, post_reduce,
+                 do_rows=True, do_lanes=True):
     c = _read_consts(cref)
     lo = x_ref[0, 0, 0]
     hi = x_ref[1, 0, 0]
-    lo, hi = _lane_stages_inv(lo, hi, lanetw_ref[0, 0], lanetw_ref[1, 0],
-                              c, logN, signed)
-    lo, hi = _row_stages_inv(lo, hi, rowtw_ref[0, 0], rowtw_ref[1, 0],
-                             c, logN, signed)
-    ch = pl.program_id(1)
-    S = (cref[6, ch], cref[7, ch])  # Ninv (Montgomery form)
-    lo, hi = _mm((lo, hi), S, c, signed)
-    if post_exit:
-        f = u64.montredc_signed if signed else u64.montredc
-        lo, hi = f((lo, hi), c["ql"], c["qh"], c["kl"], c["kh"])
-    if post_reduce:
-        lo, hi = _final_reduce(lo, hi, c)
+    if do_lanes:
+        lo, hi = _lane_stages_inv(lo, hi, lanetw_ref[0, 0], lanetw_ref[1, 0],
+                                  c, logN, signed)
+    if do_rows:
+        lo, hi = _row_stages_inv(lo, hi, rowtw_ref[0, 0], rowtw_ref[1, 0],
+                                 c, logN, signed)
+        ch = pl.program_id(1)
+        S = (cref[6, ch], cref[7, ch])  # Ninv (Montgomery form)
+        lo, hi = _mm((lo, hi), S, c, signed)
+        if post_exit:
+            f = u64.montredc_signed if signed else u64.montredc
+            lo, hi = f((lo, hi), c["ql"], c["qh"], c["kl"], c["kh"])
+        if post_reduce:
+            lo, hi = _final_reduce(lo, hi, c)
     o_ref[0, 0, 0] = lo
     o_ref[1, 0, 0] = hi
 
@@ -288,7 +314,7 @@ def _call(kernel, a, consts, row_tw, lane_tw, interpret):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((2, 1, 1, R, LANES), lambda b, c: (0, b, c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 1, n_row, row_tw.shape[3], 1),
+            pl.BlockSpec((2, 1, n_row, 1, row_tw.shape[4]),
                          lambda b, c: (0, c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 1, n_lane, R), lambda b, c: (0, c, 0, 0),
@@ -305,20 +331,94 @@ def _call(kernel, a, consts, row_tw, lane_tw, interpret):
     return out if batched else out[:, 0]
 
 
+def _call_lanes(kernel, a, consts, row_tw, lane_tw, interpret,
+                tile_r=256):
+    """Lane-phase launch with the sublane-row axis tiled over the grid.
+
+    The 7 lane stages only couple elements WITHIN each 128-lane row, so the
+    R axis is embarrassingly parallel — tiling it keeps the kernel's live
+    set at the size Mosaic handles (the fused R>256 kernel crashes its
+    register allocator)."""
+    batched = a.ndim == 4
+    if not batched:
+        a = a[:, None]
+    _, B, C, N = a.shape
+    R = N // LANES
+    n_row = row_tw.shape[2]
+    n_lane = lane_tw.shape[2]
+    av = a.reshape(2, B, C, R, LANES)
+    nt = R // tile_r
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, C, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, 1, 1, tile_r, LANES),
+                         lambda b, c, r: (0, b, c, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, n_row, 1, row_tw.shape[4]),
+                         lambda b, c, r: (0, c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, n_lane, tile_r),
+                         lambda b, c, r: (0, c, 0, r),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, 1, 1, tile_r, LANES),
+                               lambda b, c, r: (0, b, c, r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(av.shape, av.dtype),
+        interpret=interpret,
+    )(consts, av, row_tw, lane_tw)
+
+    out = out.reshape(2, B, C, N)
+    return out if batched else out[:, 0]
+
+
+# Above this many sublane rows the full transform is split into a row-phase
+# and a lane-phase kernel: the single fused kernel exceeds what Mosaic can
+# register-allocate at logN >= 16 (compiler crash). The lane phase is then
+# additionally tiled over the row axis.
+SPLIT_ROWS = 256
+
+
 def ntt(a, plan, signed=False, pre_enter=False, post_reduce=False,
         interpret=False):
     """Forward NTT over packed [2, C, N] or batched [2, B, C, N]."""
-    kern = functools.partial(_ntt_kernel, logN=plan.logN, signed=signed,
-                             pre_enter=pre_enter, post_reduce=post_reduce)
     consts = plan.consts_enter if pre_enter else plan.consts
-    return _call(kern, a, consts, plan.row_tw, plan.lane_tw, interpret)
+    R = a.shape[-1] // LANES
+    if R <= SPLIT_ROWS:
+        kern = functools.partial(_ntt_kernel, logN=plan.logN, signed=signed,
+                                 pre_enter=pre_enter, post_reduce=post_reduce)
+        return _call(kern, a, consts, plan.row_tw, plan.lane_tw, interpret)
+    k1 = functools.partial(_ntt_kernel, logN=plan.logN, signed=signed,
+                           pre_enter=pre_enter, post_reduce=post_reduce,
+                           do_lanes=False)
+    k2 = functools.partial(_ntt_kernel, logN=plan.logN, signed=signed,
+                           pre_enter=pre_enter, post_reduce=post_reduce,
+                           do_rows=False)
+    mid = _call(k1, a, consts, plan.row_tw, plan.lane_tw, interpret)
+    return _call_lanes(k2, mid, consts, plan.row_tw, plan.lane_tw, interpret)
 
 
 def intt(a, plan, signed=False, post_exit=False, post_reduce=False,
          interpret=False):
-    kern = functools.partial(_intt_kernel, logN=plan.logN, signed=signed,
-                             post_exit=post_exit, post_reduce=post_reduce)
-    return _call(kern, a, plan.consts_ninv, plan.row_itw, plan.lane_itw,
+    R = a.shape[-1] // LANES
+    if R <= SPLIT_ROWS:
+        kern = functools.partial(_intt_kernel, logN=plan.logN, signed=signed,
+                                 post_exit=post_exit,
+                                 post_reduce=post_reduce)
+        return _call(kern, a, plan.consts_ninv, plan.row_itw, plan.lane_itw,
+                     interpret)
+    k1 = functools.partial(_intt_kernel, logN=plan.logN, signed=signed,
+                           post_exit=post_exit, post_reduce=post_reduce,
+                           do_rows=False)
+    k2 = functools.partial(_intt_kernel, logN=plan.logN, signed=signed,
+                           post_exit=post_exit, post_reduce=post_reduce,
+                           do_lanes=False)
+    mid = _call_lanes(k1, a, plan.consts_ninv, plan.row_itw, plan.lane_itw,
+                      interpret)
+    return _call(k2, mid, plan.consts_ninv, plan.row_itw, plan.lane_itw,
                  interpret)
 
 
