@@ -452,6 +452,15 @@ class CkksEngine:
             vals += [R % mi for mi in q_lvl[n_ord:]]
             self.enter_ord.append(jnp.asarray(_pack_list(vals)))
 
+        # Montgomery identity scalars (R mod q): montmul(x, R) == x mod q.
+        # Used to canonicalize wrapped-negative basis-extension outputs into
+        # [0, 2q) so the hot NTT/mult kernels run the unsigned fast path.
+        self.mont_identity = []
+        for level in range(self.num_levels):
+            q_lvl = ctx.q[level:]
+            self.mont_identity.append(jnp.asarray(
+                _pack_list([ctx.R % mi for mi in q_lvl])))
+
     def _create_rescale_scales(self):
         """q_l^{-1}*R mod q_i for the channels that survive the rescale at
         each level (reference: ckks_engine.py:123-146)."""
@@ -893,7 +902,7 @@ class CkksEngine:
             return ops.reduce_2q(d, pack_ord)
 
         def fn(a, ksk0s, ksk1s, plans, part_packs, pack_sp, pack_ord, PiRs,
-               enter_ord):
+               enter_ord, ident_sp):
             # Batch every gadget part through ONE NTT and one pair of ksk
             # multiplies on a [2, P, C_sp, N] array — the TPU-native answer
             # to the reference's per-(device, part) kernel launches
@@ -905,16 +914,22 @@ class CkksEngine:
                                    plans[idx])
                 exts.append(extend(state, plans[idx], pack_sp))
             ext = jnp.stack(exts, axis=1)                  # [2, P, C_sp, N]
-            ext = ops.ntt(ext, pack_sp, signed=True)
-            t0 = ops.mont_mult_signed(ext, jnp.stack(ksk0s, axis=1), pack_sp)
-            t1 = ops.mont_mult_signed(ext, jnp.stack(ksk1s, axis=1), pack_sp)
+            # Canonicalize the wrapped-negative divided-difference sums to
+            # [0, 2q) (one montmul by the identity R): all the heavy NTT /
+            # pointwise kernels below then run the unsigned fast path.
+            ext = ops.canon_2q(
+                ops.mont_enter_scalar(ext, ident_sp, pack_sp, signed=True),
+                pack_sp)
+            ext = ops.ntt(ext, pack_sp)
+            t0 = ops.mont_mult(ext, jnp.stack(ksk0s, axis=1), pack_sp)
+            t1 = ops.mont_mult(ext, jnp.stack(ksk1s, axis=1), pack_sp)
             d0 = t0[:, 0]
             d1 = t1[:, 0]
             for p in range(1, len(parts_meta)):
                 d0 = ops.mont_add(d0, t0[:, p], pack_sp)
                 d1 = ops.mont_add(d1, t1[:, p], pack_sp)
-            d0 = ops.intt_exit_reduce(d0, pack_sp, signed=True)
-            d1 = ops.intt_exit_reduce(d1, pack_sp, signed=True)
+            d0 = ops.intt_exit_reduce(d0, pack_sp)
+            d1 = ops.intt_exit_reduce(d1, pack_sp)
             return (mod_down(d0, pack_sp, pack_ord, PiRs, enter_ord),
                     mod_down(d1, pack_sp, pack_ord, PiRs, enter_ord))
 
@@ -934,7 +949,8 @@ class CkksEngine:
         fn = self._switcher_fn(level, exit_ntt)
         return fn(a, ksk0s, ksk1s, plans, part_packs,
                   self.pack(level, -2), self.pack(level, -1),
-                  tuple(self.PiRs[level]), self.enter_ord[level])
+                  tuple(self.PiRs[level]), self.enter_ord[level],
+                  self.mont_identity[level])
 
     def switch_key(self, ct: DataStruct, ksk: DataStruct) -> DataStruct:
         if ct.origin != types.origins["ct"]:

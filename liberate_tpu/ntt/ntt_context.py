@@ -186,12 +186,12 @@ class NttContext:
         is enabled (TPU) and the transform is large enough (logN >= 8)."""
         from .. import config
 
-        # logN 8..15: the fused kernels compile cleanly. At logN >= 16 the
-        # Mosaic register allocator crashes on several of the generated
-        # kernels (dynamic twiddle-plane operands at R >= 512); those
-        # presets currently fall back to the XLA path. TODO(round 2):
-        # grid-tile the row phase or file the Mosaic repro upstream.
-        if not config.pallas_enabled() or not (8 <= self.logN <= 15):
+        # logN 16 uses the split (row-chunk/lane-tiled) kernels; the engine's
+        # hot path is all-unsigned (basis-extension outputs canonicalized),
+        # which keeps every kernel within Mosaic's register allocator.
+        # At logN 17 (R=1024) the late row stages (m >= 256) still crash the
+        # Mosaic compiler — platinum falls back to the XLA path for now.
+        if not config.pallas_enabled() or not (8 <= self.logN <= 16):
             return None
         from . import pallas_ntt
 

@@ -103,11 +103,13 @@ def _cond_sub(v, q2):
     return u64.select(over, u64.sub(v, q2), v)
 
 
-def _row_stages_fwd(lo, hi, rtl, rth, c, logN, signed):
+def _row_stages_fwd(lo, hi, rtl, rth, c, logN, signed, s_lo=0, s_hi=None):
     """Cooley-Tukey stages with t >= 128 on the [R, 128] view."""
     R = lo.shape[0]
     q2 = (c["q2l"], c["q2h"])
-    for s in range(logN - LANE_STAGES):
+    if s_hi is None:
+        s_hi = logN - LANE_STAGES
+    for s in range(s_lo, s_hi):
         m = 1 << s
         th = R // (2 * m)
         rtl_s = jnp.swapaxes(rtl[s], 0, 1)  # [R/2, 1] sublane-oriented
@@ -185,11 +187,13 @@ def _lane_stages_inv(lo, hi, ltl, lth, c, logN, signed):
     return lo.T, hi.T
 
 
-def _row_stages_inv(lo, hi, rtl, rth, c, logN, signed):
+def _row_stages_inv(lo, hi, rtl, rth, c, logN, signed, s_lo=0, s_hi=None):
     """Gentleman-Sande stages with t >= 128, natural [R, 128] view."""
     R = lo.shape[0]
     q2 = (c["q2l"], c["q2h"])
-    for s in reversed(range(logN - LANE_STAGES)):
+    if s_hi is None:
+        s_hi = logN - LANE_STAGES
+    for s in reversed(range(s_lo, s_hi)):
         m = 1 << s
         th = R // (2 * m)
         rtl_s = jnp.swapaxes(rtl[s], 0, 1)  # [R/2, 1] sublane-oriented
@@ -247,17 +251,17 @@ def _final_reduce(lo, hi, c):
 
 def _ntt_kernel(cref, x_ref, rowtw_ref, lanetw_ref, o_ref, *,
                 logN, signed, pre_enter, post_reduce,
-                do_rows=True, do_lanes=True):
+                do_rows=True, do_lanes=True, row_lo=0, row_hi=None):
     c = _read_consts(cref)
     lo = x_ref[0, 0, 0]
     hi = x_ref[1, 0, 0]
-    if pre_enter and do_rows:
+    if pre_enter and do_rows and row_lo == 0:
         ch = pl.program_id(1)
         S = (cref[6, ch], cref[7, ch])
         lo, hi = _mm((lo, hi), S, c, signed)
     if do_rows:
         lo, hi = _row_stages_fwd(lo, hi, rowtw_ref[0, 0], rowtw_ref[1, 0],
-                                 c, logN, signed)
+                                 c, logN, signed, s_lo=row_lo, s_hi=row_hi)
     if do_lanes:
         lo, hi = _lane_stages_fwd(lo, hi, lanetw_ref[0, 0], lanetw_ref[1, 0],
                                   c, logN, signed)
@@ -269,7 +273,7 @@ def _ntt_kernel(cref, x_ref, rowtw_ref, lanetw_ref, o_ref, *,
 
 def _intt_kernel(cref, x_ref, rowtw_ref, lanetw_ref, o_ref, *,
                  logN, signed, post_exit, post_reduce,
-                 do_rows=True, do_lanes=True):
+                 do_rows=True, do_lanes=True, row_lo=0, row_hi=None):
     c = _read_consts(cref)
     lo = x_ref[0, 0, 0]
     hi = x_ref[1, 0, 0]
@@ -278,15 +282,16 @@ def _intt_kernel(cref, x_ref, rowtw_ref, lanetw_ref, o_ref, *,
                                   c, logN, signed)
     if do_rows:
         lo, hi = _row_stages_inv(lo, hi, rowtw_ref[0, 0], rowtw_ref[1, 0],
-                                 c, logN, signed)
-        ch = pl.program_id(1)
-        S = (cref[6, ch], cref[7, ch])  # Ninv (Montgomery form)
-        lo, hi = _mm((lo, hi), S, c, signed)
-        if post_exit:
-            f = u64.montredc_signed if signed else u64.montredc
-            lo, hi = f((lo, hi), c["ql"], c["qh"], c["kl"], c["kh"])
-        if post_reduce:
-            lo, hi = _final_reduce(lo, hi, c)
+                                 c, logN, signed, s_lo=row_lo, s_hi=row_hi)
+        if row_lo == 0:
+            ch = pl.program_id(1)
+            S = (cref[6, ch], cref[7, ch])  # Ninv (Montgomery form)
+            lo, hi = _mm((lo, hi), S, c, signed)
+            if post_exit:
+                f = u64.montredc_signed if signed else u64.montredc
+                lo, hi = f((lo, hi), c["ql"], c["qh"], c["kl"], c["kh"])
+            if post_reduce:
+                lo, hi = _final_reduce(lo, hi, c)
     o_ref[0, 0, 0] = lo
     o_ref[1, 0, 0] = hi
 
@@ -375,11 +380,26 @@ def _call_lanes(kernel, a, consts, row_tw, lane_tw, interpret,
     return out if batched else out[:, 0]
 
 
-# Above this many sublane rows the full transform is split into a row-phase
-# and a lane-phase kernel: the single fused kernel exceeds what Mosaic can
+# Above this many sublane rows the full transform is split into row-phase
+# and lane-phase kernels: the single fused kernel exceeds what Mosaic can
 # register-allocate at logN >= 16 (compiler crash). The lane phase is then
-# additionally tiled over the row axis.
+# additionally tiled over the row axis, and the row phase is chunked into
+# R//256 stage groups (working-set pressure grows with R).
 SPLIT_ROWS = 256
+
+
+def _row_chunks(n_row, R):
+    """Partition row stages [0, n_row) into R//SPLIT_ROWS balanced chunks."""
+    n_chunks = max(1, R // SPLIT_ROWS)
+    base = n_row // n_chunks
+    rem = n_row % n_chunks
+    chunks = []
+    lo = 0
+    for i in range(n_chunks):
+        hi = lo + base + (1 if i < rem else 0)
+        chunks.append((lo, hi))
+        lo = hi
+    return chunks
 
 
 def ntt(a, plan, signed=False, pre_enter=False, post_reduce=False,
@@ -391,13 +411,16 @@ def ntt(a, plan, signed=False, pre_enter=False, post_reduce=False,
         kern = functools.partial(_ntt_kernel, logN=plan.logN, signed=signed,
                                  pre_enter=pre_enter, post_reduce=post_reduce)
         return _call(kern, a, consts, plan.row_tw, plan.lane_tw, interpret)
-    k1 = functools.partial(_ntt_kernel, logN=plan.logN, signed=signed,
-                           pre_enter=pre_enter, post_reduce=post_reduce,
-                           do_lanes=False)
+    n_row = plan.logN - LANE_STAGES
+    mid = a
+    for lo_s, hi_s in _row_chunks(n_row, R):
+        k1 = functools.partial(_ntt_kernel, logN=plan.logN, signed=signed,
+                               pre_enter=pre_enter, post_reduce=post_reduce,
+                               do_lanes=False, row_lo=lo_s, row_hi=hi_s)
+        mid = _call(k1, mid, consts, plan.row_tw, plan.lane_tw, interpret)
     k2 = functools.partial(_ntt_kernel, logN=plan.logN, signed=signed,
                            pre_enter=pre_enter, post_reduce=post_reduce,
                            do_rows=False)
-    mid = _call(k1, a, consts, plan.row_tw, plan.lane_tw, interpret)
     return _call_lanes(k2, mid, consts, plan.row_tw, plan.lane_tw, interpret)
 
 
@@ -410,16 +433,20 @@ def intt(a, plan, signed=False, post_exit=False, post_reduce=False,
                                  post_reduce=post_reduce)
         return _call(kern, a, plan.consts_ninv, plan.row_itw, plan.lane_itw,
                      interpret)
+    n_row = plan.logN - LANE_STAGES
     k1 = functools.partial(_intt_kernel, logN=plan.logN, signed=signed,
                            post_exit=post_exit, post_reduce=post_reduce,
                            do_rows=False)
-    k2 = functools.partial(_intt_kernel, logN=plan.logN, signed=signed,
-                           post_exit=post_exit, post_reduce=post_reduce,
-                           do_lanes=False)
     mid = _call_lanes(k1, a, plan.consts_ninv, plan.row_itw, plan.lane_itw,
                       interpret)
-    return _call(k2, mid, plan.consts_ninv, plan.row_itw, plan.lane_itw,
-                 interpret)
+    # GS row stages run high-to-low: iterate the chunks in reverse.
+    for lo_s, hi_s in reversed(_row_chunks(n_row, R)):
+        k2 = functools.partial(_intt_kernel, logN=plan.logN, signed=signed,
+                               post_exit=post_exit, post_reduce=post_reduce,
+                               do_lanes=False, row_lo=lo_s, row_hi=hi_s)
+        mid = _call(k2, mid, plan.consts_ninv, plan.row_itw, plan.lane_itw,
+                    interpret)
+    return mid
 
 
 # ---------------------------------------------------------------------------
