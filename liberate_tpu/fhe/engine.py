@@ -344,6 +344,8 @@ class CkksEngine:
 
         self.galois_deltas = [2 ** i for i in range(self.ctx.logN - 1)]
         self._switcher_cache = {}
+        self._perm_device_cache = {}
+        self._ksk_slice_cache = {}
 
         self.mult_dispatch = {
             (DataStruct, DataStruct): self.auto_cc_mult,
@@ -937,6 +939,21 @@ class CkksEngine:
         self._switcher_cache[key] = jitted
         return jitted
 
+    def _ksk_slices(self, ksk: DataStruct, level: int):
+        """Level-sliced, part-ordered ksk halves, cached per (ksk, level):
+        the slices are real device copies for level > 0 and would otherwise
+        be re-materialized on every switch."""
+        cache = self._ksk_slice_cache.setdefault(id(ksk), {})
+        if level not in cache:
+            parts = self.ntt.parts(level)
+            cache[level] = (
+                tuple(ksk.data[p.part_id].data[0][:, level:, :]
+                      for p in parts),
+                tuple(ksk.data[p.part_id].data[1][:, level:, :]
+                      for p in parts),
+            )
+        return cache[level]
+
     def create_switcher(self, a, ksk: DataStruct, level: int,
                         exit_ntt: bool = False):
         """Key-switch the polynomial ``a`` [2, C_ord, N]: returns (d0, d1)
@@ -944,8 +961,7 @@ class CkksEngine:
         parts = self.ntt.parts(level)
         plans = tuple((p.Y_scalar, p.L_scalar, p.L_enter) for p in parts)
         part_packs = tuple(p.pack for p in parts)
-        ksk0s = tuple(ksk.data[p.part_id].data[0][:, level:, :] for p in parts)
-        ksk1s = tuple(ksk.data[p.part_id].data[1][:, level:, :] for p in parts)
+        ksk0s, ksk1s = self._ksk_slices(ksk, level)
         fn = self._switcher_fn(level, exit_ntt)
         return fn(a, ksk0s, ksk1s, plans, part_packs,
                   self.pack(level, -2), self.pack(level, -1),
@@ -1193,10 +1209,17 @@ class CkksEngine:
         return DataStruct(parts, True, True, True,
                           types.origins["galk"], 0, self.hash)
 
-    def _permute_ct(self, ct: DataStruct, perm_data) -> DataStruct:
+    def _perm_on_device(self, key, perm_data):
+        """Device-resident permutation tables, cached: re-uploading the
+        [N] gather index per rotation dominates the hop cost otherwise."""
+        if key not in self._perm_device_cache:
+            self._perm_device_cache[key] = (jnp.asarray(perm_data[0]),
+                                            jnp.asarray(perm_data[1]))
+        return self._perm_device_cache[key]
+
+    def _permute_ct(self, ct: DataStruct, perm_key, perm_data) -> DataStruct:
         pack = self.pack(ct.level, -1)
-        gather = jnp.asarray(perm_data[0])
-        neg = jnp.asarray(perm_data[1])
+        gather, neg = self._perm_on_device(perm_key, perm_data)
         new_data = tuple(_rotate_ct_core(d, gather, neg, pack)
                          for d in ct.data)
         return ct._replace(data=new_data)
@@ -1207,7 +1230,7 @@ class CkksEngine:
                                       to=types.origins["rotk"])
         delta = int(rotk.origin.split(":")[-1])
         perm = encdec.rotate_perm_data(self.ctx.N, delta)
-        rotated = self._permute_ct(ct, perm)
+        rotated = self._permute_ct(ct, ("rot", delta), perm)
         return self.switch_key(rotated, rotk)
 
     def rotate_galois(self, ct: DataStruct, gk: DataStruct, delta: int,
@@ -1228,7 +1251,7 @@ class CkksEngine:
 
     def conjugate(self, ct: DataStruct, conjk: DataStruct) -> DataStruct:
         perm = encdec.conjugate_perm_data(self.ctx.N)
-        conj = self._permute_ct(ct, perm)
+        conj = self._permute_ct(ct, ("conj",), perm)
         return self.switch_key(conj, conjk)
 
     # -- high-level math (reference: ckks_engine.py:2301-2351, 2693-2724) ----------
