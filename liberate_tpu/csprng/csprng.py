@@ -309,10 +309,21 @@ class Csprng:
     # -- host mirrors (bit-identical to the device path) --------------------------
 
     def host_words(self, channel, nblocks):
-        """Host evaluation of one channel's stream (advances its step)."""
+        """Host evaluation of one channel's stream (advances its step).
+
+        Uses the native C++ ChaCha20 when available (the numpy block
+        function dominates host-side encode otherwise); both paths are
+        bit-identical to the device kernel.
+        """
         off_lo, off_hi = self._offsets([channel])
         off = (np.uint64(off_hi[0]) << np.uint64(32)) | np.uint64(off_lo[0])
         counters = off + np.arange(nblocks, dtype=np.uint64)
+
+        from .. import native
+
+        words = native.chacha20_blocks(self.key, self.nonce, counters)
+        if words is not None:
+            return words
         states = make_states(nblocks, self.key, self.nonce, counters)
         words, _ = chacha20_np(states, 0)
         return words

@@ -943,7 +943,9 @@ class CkksEngine:
         """Level-sliced, part-ordered ksk halves, cached per (ksk, level):
         the slices are real device copies for level > 0 and would otherwise
         be re-materialized on every switch."""
-        cache = self._ksk_slice_cache.setdefault(id(ksk), {})
+        # Keyed by the DataStruct itself (identity hash): an id()-keyed
+        # cache collides when a dead key's id is reused by the allocator.
+        cache = self._ksk_slice_cache.setdefault(ksk, {})
         if level not in cache:
             parts = self.ntt.parts(level)
             cache[level] = (
@@ -1534,6 +1536,16 @@ class CkksEngine:
 
     def refresh(self, seed=None):
         self.rng.refresh(seed)
+
+    def profile(self, log_dir: str):
+        """Context manager tracing device execution with the JAX profiler
+        (view with TensorBoard / xprof). The reference has no profiling
+        hooks (SURVEY 5); on TPU this captures per-kernel timelines.
+
+        with engine.profile("/tmp/fhe-trace"):
+            engine.mult(ct1, ct2, evk)
+        """
+        return jax.profiler.trace(log_dir)
 
     def reduce_error(self, ct):
         return self.mult_scalar(ct, 1.0)

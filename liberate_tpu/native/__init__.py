@@ -52,6 +52,10 @@ def _build_and_load():
     lib.psi_banks.argtypes = [p64, p64, p64, i32, i32, p64, p64]
     lib.primitive_root_2N.restype = u64
     lib.primitive_root_2N.argtypes = [u64, u64]
+    p32 = ctypes.POINTER(ctypes.c_uint32)
+    i64 = ctypes.c_int64
+    lib.chacha20_blocks.restype = None
+    lib.chacha20_blocks.argtypes = [p32, p32, p64, i64, p32]
     return lib
 
 
@@ -95,6 +99,25 @@ def primitive_root_2N(q: int, N: int):
     if lib is None or q >= (1 << 63):
         return None
     return int(lib.primitive_root_2N(q, N))
+
+
+def chacha20_blocks(key, nonce, counters):
+    """ChaCha20 keystream: uint32 [n, 16] for the given 64-bit counters;
+    None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    key = np.ascontiguousarray(np.asarray(key, dtype=np.uint32))
+    nonce = np.ascontiguousarray(np.asarray(nonce, dtype=np.uint32))
+    counters = np.ascontiguousarray(np.asarray(counters, dtype=np.uint64))
+    n = counters.shape[0]
+    out = np.empty((n, 16), dtype=np.uint32)
+    p32 = ctypes.POINTER(ctypes.c_uint32)
+    p64 = ctypes.POINTER(ctypes.c_uint64)
+    lib.chacha20_blocks(key.ctypes.data_as(p32), nonce.ctypes.data_as(p32),
+                        counters.ctypes.data_as(p64), n,
+                        out.ctypes.data_as(p32))
+    return out
 
 
 def psi_banks(qs, psis, ipsis, logN: int):

@@ -108,4 +108,47 @@ uint64_t primitive_root_2N(uint64_t q, uint64_t N) {
     return g;
 }
 
+// ChaCha20 keystream blocks (counter mode), for host-side stochastic
+// rounding and host mirrors of the device CSPRNG
+// (reference: src/liberate/csprng/chacha20_cuda_kernel.cu).
+static inline uint32_t rotl32(uint32_t x, int n) {
+    return (x << n) | (x >> (32 - n));
+}
+
+#define QR(a, b, c, d)                                       \
+    a += b; d ^= a; d = rotl32(d, 16);                        \
+    c += d; b ^= c; b = rotl32(b, 12);                        \
+    a += b; d ^= a; d = rotl32(d, 8);                         \
+    c += d; b ^= c; b = rotl32(b, 7);
+
+void chacha20_blocks(const uint32_t* key, const uint32_t* nonce,
+                     const uint64_t* counters, int64_t n_blocks,
+                     uint32_t* out) {
+    static const uint32_t CONST[4] = {0x61707865, 0x3320646e,
+                                      0x79622d32, 0x6b206574};
+    for (int64_t b = 0; b < n_blocks; ++b) {
+        uint32_t s[16];
+        for (int i = 0; i < 4; ++i) s[i] = CONST[i];
+        for (int i = 0; i < 8; ++i) s[4 + i] = key[i];
+        s[12] = (uint32_t)(counters[b] & 0xffffffffu);
+        s[13] = (uint32_t)(counters[b] >> 32);
+        s[14] = nonce[0];
+        s[15] = nonce[1];
+        uint32_t x[16];
+        for (int i = 0; i < 16; ++i) x[i] = s[i];
+        for (int r = 0; r < 10; ++r) {
+            QR(x[0], x[4], x[8], x[12]);
+            QR(x[1], x[5], x[9], x[13]);
+            QR(x[2], x[6], x[10], x[14]);
+            QR(x[3], x[7], x[11], x[15]);
+            QR(x[0], x[5], x[10], x[15]);
+            QR(x[1], x[6], x[11], x[12]);
+            QR(x[2], x[7], x[8], x[13]);
+            QR(x[3], x[4], x[9], x[14]);
+        }
+        uint32_t* o = out + b * 16;
+        for (int i = 0; i < 16; ++i) o[i] = x[i] + s[i];
+    }
+}
+
 }  // extern "C"

@@ -63,3 +63,17 @@ def test_primitive_root_matches():
     N = 2 ** 10
     q = find_the_next_prime(2 ** 40 + 1, 2 * N, up=True)
     assert native.primitive_root_2N(q, N) == cc.primitive_root_2N(q, N)
+
+
+@requires_native
+def test_chacha20_blocks_match_numpy():
+    from liberate_tpu.csprng.chacha20 import chacha20_np, make_states
+
+    rng = np.random.default_rng(3)
+    key = rng.integers(0, 2 ** 32, 8, dtype=np.uint64).astype(np.uint32)
+    nonce = rng.integers(0, 2 ** 32, 2, dtype=np.uint64).astype(np.uint32)
+    counters = rng.integers(0, 2 ** 63, 32, dtype=np.uint64)
+    got = native.chacha20_blocks(key, nonce, counters)
+    states = make_states(32, key, nonce, counters)
+    want, _ = chacha20_np(states, 0)
+    assert np.array_equal(got, want)
