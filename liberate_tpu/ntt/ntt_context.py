@@ -186,11 +186,14 @@ class NttContext:
         is enabled (TPU) and the transform is large enough (logN >= 8)."""
         from .. import config
 
-        # logN 16 uses the split (row-chunk/lane-tiled) kernels; the engine's
-        # hot path is all-unsigned (basis-extension outputs canonicalized),
-        # which keeps every kernel within Mosaic's register allocator.
-        # At logN 17 (R=1024) the late row stages (m >= 256) still crash the
-        # Mosaic compiler — platinum falls back to the XLA path for now.
+        # logN 16 uses the split (row-chunk/lane-tiled) kernels, with
+        # large-m row stages executed in the transposed domain and the
+        # engine hot path all-unsigned (basis-extension outputs are
+        # canonicalized). At logN 17 (platinum) the kernels are
+        # individually bit-exact, but compiling the full-width engine
+        # pipelines crashes this environment's remote TPU compile helper
+        # non-deterministically (see pallas_ntt.CSLAB) — platinum uses the
+        # XLA path until that is resolved.
         if not config.pallas_enabled() or not (8 <= self.logN <= 16):
             return None
         from . import pallas_ntt

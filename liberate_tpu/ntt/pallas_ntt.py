@@ -35,6 +35,7 @@ from . import u64
 
 LANES = 128
 LANE_STAGES = 7  # stages whose butterfly span t < 128
+BIG_M = 256      # row stages with m >= BIG_M use the transposed-data form
 
 
 # ---------------------------------------------------------------------------
@@ -67,13 +68,17 @@ def build_tw_planes(bank: np.ndarray, logN: int):
     C = bank.shape[0]
     n_row = logN - LANE_STAGES
 
-    # Lane-oriented [C, n_row, 1, R/2]: a sublane-oriented trailing-1 layout
-    # crashes Mosaic when the plane is a dynamic kernel operand at R >= 512;
-    # kernels transpose each stage's [1, R/2] slice to [R/2, 1] in-VMEM.
+    # Lane-oriented per-PAIR-ROW plane [C, n_row, 1, R/2]: entry j of stage
+    # s is the twiddle of U-row j (bank[m + j // th]); kernels reshape the
+    # transposed [R/2, 1] slice straight to (m, th, 1). Lane orientation is
+    # deliberate: a sublane-oriented trailing-1 dynamic operand crashes
+    # Mosaic at R >= 512.
     row_tw = np.zeros((C, n_row, 1, max(R // 2, 1)), dtype=np.uint64)
     for s in range(n_row):
         m = 1 << s
-        row_tw[:, s, 0, :m] = bank[:, m:2 * m]
+        th = max(R // (2 * m), 1)
+        j = np.arange(R // 2) if R >= 2 else np.arange(1)
+        row_tw[:, s, 0, :len(j)] = bank[:, m + j // th]
 
     offsets, ks = lane_tw_offsets(logN)
     lane_tw = np.zeros((C, int(np.sum(ks)), R), dtype=np.uint64)
@@ -112,28 +117,52 @@ def _row_stages_fwd(lo, hi, rtl, rth, c, logN, signed, s_lo=0, s_hi=None):
     for s in range(s_lo, s_hi):
         m = 1 << s
         th = R // (2 * m)
-        rtl_s = jnp.swapaxes(rtl[s], 0, 1)  # [R/2, 1] sublane-oriented
-        rth_s = jnp.swapaxes(rth[s], 0, 1)
-        if th == 1:
+        if th == 1 and m < BIG_M:
             # 3D view: the 4D th=1 form trips Mosaic layout inference.
             vl = lo.reshape(m, 2, LANES)
             vh = hi.reshape(m, 2, LANES)
             U = (vl[:, 0], vh[:, 0])
             O = (vl[:, 1], vh[:, 1])
-            S = (rtl_s[:m], rth_s[:m])  # [m, 1] -> lane broadcast
+            S = (jnp.swapaxes(rtl[s], 0, 1)[:m],
+                 jnp.swapaxes(rth[s], 0, 1)[:m])
             V = _mm(O, S, c, signed)
             even = _cond_sub(u64.add(U, V), q2)
             odd = _cond_sub(u64.sub(u64.add(U, q2), V), q2)
             lo = jnp.stack([even[0], odd[0]], axis=1).reshape(R, LANES)
             hi = jnp.stack([even[1], odd[1]], axis=1).reshape(R, LANES)
             continue
+        if m >= BIG_M:
+            # Large-m stages: the whole butterfly runs in the TRANSPOSED
+            # [128, R/2] domain (lane-oriented twiddles; sublane-oriented
+            # big-m twiddle handling crashes Mosaic at R >= 1024, and
+            # reusing a transposed-back product in two consumers does too).
+            vl = lo.reshape(m, 2, th * LANES)
+            vh = hi.reshape(m, 2, th * LANES)
+            # Flatten (m, th, LANES) pair halves to [R/2, 128] row-major.
+            Ul = vl[:, 0].reshape(R // 2, LANES)
+            Uh = vh[:, 0].reshape(R // 2, LANES)
+            Ol = vl[:, 1].reshape(R // 2, LANES)
+            Oh = vh[:, 1].reshape(R // 2, LANES)
+            Ut = (Ul.T, Uh.T)
+            Ot = (Ol.T, Oh.T)
+            Vt = _mm(Ot, (rtl[s], rth[s]), c, signed)
+            even = _cond_sub(u64.add(Ut, Vt), q2)
+            odd = _cond_sub(u64.sub(u64.add(Ut, q2), Vt), q2)
+            e = (even[0].T.reshape(m, th, LANES),
+                 even[1].T.reshape(m, th, LANES))
+            o = (odd[0].T.reshape(m, th, LANES),
+                 odd[1].T.reshape(m, th, LANES))
+            lo = jnp.stack([e[0], o[0]], axis=1).reshape(R, LANES)
+            hi = jnp.stack([e[1], o[1]], axis=1).reshape(R, LANES)
+            continue
         vl = lo.reshape(m, 2, th, LANES)
         vh = hi.reshape(m, 2, th, LANES)
         U = (vl[:, 0], vh[:, 0])
         O = (vl[:, 1], vh[:, 1])
-        # Two-step broadcast: Mosaic cannot splat sublanes+lanes at once.
-        S = (jnp.broadcast_to(rtl_s[:m][:, None, :], (m, th, 1)),
-             jnp.broadcast_to(rth_s[:m][:, None, :], (m, th, 1)))
+        rtl_s = jnp.swapaxes(rtl[s], 0, 1)  # [R/2, 1] sublane-oriented
+        rth_s = jnp.swapaxes(rth[s], 0, 1)
+        S = (rtl_s[:m * th].reshape(m, th, 1),
+             rth_s[:m * th].reshape(m, th, 1))
         V = _mm(O, S, c, signed)
         even = _cond_sub(u64.add(U, V), q2)
         odd = _cond_sub(u64.sub(u64.add(U, q2), V), q2)
@@ -196,16 +225,13 @@ def _row_stages_inv(lo, hi, rtl, rth, c, logN, signed, s_lo=0, s_hi=None):
     for s in reversed(range(s_lo, s_hi)):
         m = 1 << s
         th = R // (2 * m)
-        rtl_s = jnp.swapaxes(rtl[s], 0, 1)  # [R/2, 1] sublane-oriented
-        rth_s = jnp.swapaxes(rth[s], 0, 1)
-        if th == 1:
-            # 3D view: the 4D th=1 form trips a Mosaic layout-inference bug
-            # in the GS ordering (crash in tpu_compile_helper).
+        if th == 1 and m < BIG_M:
             vl = lo.reshape(m, 2, LANES)
             vh = hi.reshape(m, 2, LANES)
             U = (vl[:, 0], vh[:, 0])
             V = (vl[:, 1], vh[:, 1])
-            S = (rtl_s[:m], rth_s[:m])  # [m, 1] -> lane broadcast
+            S = (jnp.swapaxes(rtl[s], 0, 1)[:m],
+                 jnp.swapaxes(rth[s], 0, 1)[:m])
             O = _cond_sub(u64.sub(u64.add(U, q2), V), q2)
             W = _mm(O, S, c, signed)
             even = _cond_sub(u64.add(U, V), q2)
@@ -216,10 +242,17 @@ def _row_stages_inv(lo, hi, rtl, rth, c, logN, signed, s_lo=0, s_hi=None):
         vh = hi.reshape(m, 2, th, LANES)
         U = (vl[:, 0], vh[:, 0])
         V = (vl[:, 1], vh[:, 1])
-        S = (jnp.broadcast_to(rtl_s[:m][:, None, :], (m, th, 1)),
-             jnp.broadcast_to(rth_s[:m][:, None, :], (m, th, 1)))
         O = _cond_sub(u64.sub(u64.add(U, q2), V), q2)
-        W = _mm(O, S, c, signed)
+        if m >= BIG_M:
+            Ot = (O[0].reshape(R // 2, LANES).T, O[1].reshape(R // 2, LANES).T)
+            Wt = _mm(Ot, (rtl[s], rth[s]), c, signed)
+            W = (Wt[0].T.reshape(m, th, LANES), Wt[1].T.reshape(m, th, LANES))
+        else:
+            rtl_s = jnp.swapaxes(rtl[s], 0, 1)
+            rth_s = jnp.swapaxes(rth[s], 0, 1)
+            S = (rtl_s[:m * th].reshape(m, th, 1),
+                 rth_s[:m * th].reshape(m, th, 1))
+            W = _mm(O, S, c, signed)
         even = _cond_sub(u64.add(U, V), q2)
         lo = jnp.stack([even[0], W[0]], axis=1).reshape(R, LANES)
         hi = jnp.stack([even[1], W[1]], axis=1).reshape(R, LANES)
@@ -387,18 +420,72 @@ def _call_lanes(kernel, a, consts, row_tw, lane_tw, interpret,
 # R//256 stage groups (working-set pressure grows with R).
 SPLIT_ROWS = 256
 
+# On the split path, wide channel counts are additionally sliced into
+# balanced slabs of at most this many channels, each its own pallas_call
+# chain (channels are independent, so this is bit-exact by construction).
+# Empirically the TPU compile of the split kernels succeeds at channel
+# widths around 20 but crashes the remote compile helper at the platinum
+# full width (C=79, logN=17); the crash is not perfectly deterministic,
+# which is why the logN=17 Pallas path stays gated off in ntt_context.
+CSLAB = 20
+
+
+def _reduce_external(out, plan):
+    """[0,2q) -> [0,q) on a kernel output, outside the kernel.
+
+    Bit-identical to the in-kernel _final_reduce; used on the split path,
+    where fusing the reduce into the final row-chunk kernel pushes the
+    TPU kernel compile over the edge at wide channel counts."""
+    q2 = (plan.consts[4][:, None], plan.consts[5][:, None])  # [C, 1]
+    q = u64.shr(q2, 1)
+    v = (out[0], out[1])
+    ok = u64.lt_signed(v, q)
+    red = u64.sub(v, q)
+    return jnp.stack([jnp.where(ok, v[0], red[0]),
+                      jnp.where(ok, v[1], red[1])])
+
+
+def _slab_plan(plan, lo, hi):
+    """Channel-slice [lo, hi) of every per-channel plan table."""
+    return PallasPlan(
+        plan.logN,
+        plan.consts[:, lo:hi], plan.consts_enter[:, lo:hi],
+        plan.consts_ninv[:, lo:hi],
+        plan.row_tw[:, lo:hi], plan.lane_tw[:, lo:hi],
+        plan.row_itw[:, lo:hi], plan.lane_itw[:, lo:hi])
+
+
+def _slab_bounds(C):
+    nslab = -(-C // CSLAB)
+    base, rem = divmod(C, nslab)
+    bounds, lo = [], 0
+    for i in range(nslab):
+        hi = lo + base + (1 if i < rem else 0)
+        bounds.append((lo, hi))
+        lo = hi
+    return bounds
+
 
 def _row_chunks(n_row, R):
-    """Partition row stages [0, n_row) into R//SPLIT_ROWS balanced chunks."""
+    """Partition row stages [0, n_row) into R//SPLIT_ROWS balanced chunks;
+    stages with m >= BIG_M (transposed-data form) each get their own
+    kernel — two of them in one kernel exceed Mosaic's allocator."""
+    import math
+
+    first_big = max(0, int(math.log2(BIG_M)))
+    small_hi = min(n_row, first_big)
     n_chunks = max(1, R // SPLIT_ROWS)
-    base = n_row // n_chunks
-    rem = n_row % n_chunks
+    base = small_hi // n_chunks
+    rem = small_hi % n_chunks
     chunks = []
     lo = 0
     for i in range(n_chunks):
         hi = lo + base + (1 if i < rem else 0)
-        chunks.append((lo, hi))
+        if hi > lo:
+            chunks.append((lo, hi))
         lo = hi
+    for sbig in range(small_hi, n_row):
+        chunks.append((sbig, sbig + 1))
     return chunks
 
 
@@ -407,6 +494,13 @@ def ntt(a, plan, signed=False, pre_enter=False, post_reduce=False,
     """Forward NTT over packed [2, C, N] or batched [2, B, C, N]."""
     consts = plan.consts_enter if pre_enter else plan.consts
     R = a.shape[-1] // LANES
+    C = a.shape[-2]
+    if R > SPLIT_ROWS and C > CSLAB:
+        return jnp.concatenate(
+            [ntt(a[..., lo:hi, :], _slab_plan(plan, lo, hi), signed=signed,
+                 pre_enter=pre_enter, post_reduce=post_reduce,
+                 interpret=interpret)
+             for lo, hi in _slab_bounds(C)], axis=-2)
     if R <= SPLIT_ROWS:
         kern = functools.partial(_ntt_kernel, logN=plan.logN, signed=signed,
                                  pre_enter=pre_enter, post_reduce=post_reduce)
@@ -427,6 +521,13 @@ def ntt(a, plan, signed=False, pre_enter=False, post_reduce=False,
 def intt(a, plan, signed=False, post_exit=False, post_reduce=False,
          interpret=False):
     R = a.shape[-1] // LANES
+    C = a.shape[-2]
+    if R > SPLIT_ROWS and C > CSLAB:
+        return jnp.concatenate(
+            [intt(a[..., lo:hi, :], _slab_plan(plan, lo, hi), signed=signed,
+                  post_exit=post_exit, post_reduce=post_reduce,
+                  interpret=interpret)
+             for lo, hi in _slab_bounds(C)], axis=-2)
     if R <= SPLIT_ROWS:
         kern = functools.partial(_intt_kernel, logN=plan.logN, signed=signed,
                                  post_exit=post_exit,
@@ -435,17 +536,20 @@ def intt(a, plan, signed=False, post_exit=False, post_reduce=False,
                      interpret)
     n_row = plan.logN - LANE_STAGES
     k1 = functools.partial(_intt_kernel, logN=plan.logN, signed=signed,
-                           post_exit=post_exit, post_reduce=post_reduce,
+                           post_exit=post_exit, post_reduce=False,
                            do_rows=False)
     mid = _call_lanes(k1, a, plan.consts_ninv, plan.row_itw, plan.lane_itw,
                       interpret)
     # GS row stages run high-to-low: iterate the chunks in reverse.
     for lo_s, hi_s in reversed(_row_chunks(n_row, R)):
         k2 = functools.partial(_intt_kernel, logN=plan.logN, signed=signed,
-                               post_exit=post_exit, post_reduce=post_reduce,
+                               post_exit=post_exit, post_reduce=False,
                                do_lanes=False, row_lo=lo_s, row_hi=hi_s)
         mid = _call(k2, mid, plan.consts_ninv, plan.row_itw, plan.lane_itw,
                     interpret)
+    # The final [0,2q)->[0,q) reduce runs OUTSIDE the kernels on this path.
+    if post_reduce:
+        mid = _reduce_external(mid, plan)
     return mid
 
 
