@@ -6,9 +6,11 @@ relinearization (hybrid key switching) and rescale — the hot loop of any
 CKKS workload (reference: ckks_engine.py:1072-1151).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no numbers (BASELINE.md), so vs_baseline is
-against an internal target of 10 mult/s (a single-A100 reference-stack
-ballpark for logN=15 from public CKKS GPU literature).
+The reference publishes no numbers and no A100 is reachable here, so
+vs_baseline divides by 1000 mult/s — a deliberately GENEROUS estimate of
+an A100 running a state-of-the-art GPU CKKS stack at logN=15 (public GPU
+CKKS libraries report ~1-3 ms per mult+relin+rescale at this size; see
+BASELINE.md "vs_baseline derivation").
 """
 
 import json
@@ -76,7 +78,8 @@ def main():
     # Verify correctness: a broken fast path must not report throughput.
     errv = abs(eng.absmax_error(eng.decrode(out, sk), m1 * m2))
     assert errv < 1e-4, f"mult decryption error too large: {errv}"
-    baseline_target = 10.0  # mult/s, internal A100-reference target
+    # Generous single-A100 estimate; derivation documented in BASELINE.md.
+    baseline_target = 1000.0  # mult/s
     print(json.dumps({
         "metric": f"ckks_mult_relin_rescale_logN{params['logN']}",
         "value": round(mult_per_s, 4),

@@ -78,8 +78,10 @@ def main():
     sk_s = eng_s.create_secret_key()
     pk_s = eng_s.create_public_key(sk_s)
     evk_s = eng_s.create_evk(sk_s)
-    c1 = eng_s.encorypt(eng_s.example(amin=-1, amax=1), pk_s)
-    c2 = eng_s.encorypt(eng_s.example(amin=-1, amax=1), pk_s)
+    m1_s = eng_s.example(amin=-1, amax=1)
+    m2_s = eng_s.example(amin=-1, amax=1)
+    c1 = eng_s.encorypt(m1_s, pk_s)
+    c2 = eng_s.encorypt(m2_s, pk_s)
     emit("silver_mult_relin_rescale",
          _bench(lambda: eng_s.mult(c1, c2, evk_s).data, iters))
 
@@ -108,24 +110,33 @@ def main():
     # -- 4. sharded mult on a device mesh ------------------------------------
     n_dev = len(jax.devices())
     if n_dev > 1:
-        from liberate_tpu.parallel import make_mesh, shard_datastruct
+        from liberate_tpu.parallel import make_mesh
 
+        # A mesh-aware engine: channel axes padded to the mesh size and
+        # sharded; keys/cts are born distributed (see liberate_tpu.parallel).
         mesh = make_mesh(n_dev)
-        c1s = shard_datastruct(c1, mesh)
-        c2s = shard_datastruct(c2, mesh)
-        evks = shard_datastruct(evk_s, mesh)
+        eng_m = liberate_tpu.CkksEngine(seed=1, mesh=mesh, **silver)
+        sk_m = eng_m.create_secret_key()
+        pk_m = eng_m.create_public_key(sk_m)
+        evk_m = eng_m.create_evk(sk_m)
+        c1s = eng_m.encorypt(m1_s, pk_m)
+        c2s = eng_m.encorypt(m2_s, pk_m)
         emit(f"silver_mult_sharded_{n_dev}dev",
-             _bench(lambda: eng_s.mult(c1s, c2s, evks).data, iters))
+             _bench(lambda: eng_m.mult(c1s, c2s, evk_m).data, iters))
     else:
         print(json.dumps({"metric": "silver_mult_sharded",
                           "value": None,
                           "unit": "skipped (1 device)"}), flush=True)
 
     # Correctness gates (after all timing: d2h degrades dispatch here).
-    m1 = eng_s.decode(eng_s.decrypt(eng_s.mult(c1, c2, evk_s), sk_s),
-                      level=c1.level + 1)
+    # A broken fast path must fail the suite, not report "verified".
+    dec = eng_s.decrode(eng_s.mult(c1, c2, evk_s), sk_s)
+    err = abs(eng_s.absmax_error(dec, m1_s * m2_s))
+    assert err < 1e-4, f"silver mult decryption error too large: {err}"
     print(json.dumps({"metric": "silver_mult_verified",
-                      "value": True, "unit": "bool"}), flush=True)
+                      "value": True, "unit": "bool",
+                      "absmax_error": float(err.real)
+                      if hasattr(err, "real") else float(err)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -51,19 +51,31 @@ def _sk_core(ternary, pack):
 
 @jax.jit
 def _pk_core(e, a, sk, pack):
-    """pk0 = e - a*sk (all in NTT+Montgomery domain)."""
+    """pk0 = e - a*sk (all in NTT+Montgomery domain).
+
+    sk arrives at its stored (full) width, a at the real channel count;
+    both are fitted to the pack width inside the trace (see fit_channels).
+    """
+    W = pack.q2.shape[1]
+    sk = ops.fit_channels(sk, W)
+    a = ops.fit_channels(a, W)
     e_t = ops.enter_ntt(ops.tile_unsigned(e, pack), pack)
     sa = ops.mont_mult(a, sk, pack)
-    return ops.mont_sub(e_t, sa, pack)
+    return ops.mont_sub(e_t, sa, pack), a
 
 
-@jax.jit
-def _encrypt_core(pt, dc, e0, e1, v, pk0, pk1, pack):
+@functools.partial(jax.jit, static_argnums=(7,))
+def _encrypt_core(pt, dc, e0, e1, v, pk0, pk1, level, pack):
     """ct = (v*pk0 + pt + e0, v*pk1 + e1) (reference: ckks_engine.py:418-480).
 
-    ``dc`` is the bias-guard DC-coefficient RNS remainder, packed [2, C]
+    ``dc`` is the bias-guard DC-coefficient RNS remainder, packed [2, W]
     (zeros when bias_guard is off; reference: ckks_engine.py:1520-1522).
+    pk0/pk1 arrive at their stored level-0 width; the level slice + width
+    fit happens inside the trace.
     """
+    W = pack.q2.shape[1]
+    pk0 = ops.fit_channels(pk0[:, level:], W)
+    pk1 = ops.fit_channels(pk1[:, level:], W)
     e0_t = ops.tile_unsigned(e0, pack)
     e1_t = ops.tile_unsigned(e1, pack)
 
@@ -88,17 +100,19 @@ def _encrypt_core(pt, dc, e0, e1, v, pk0, pk1, pack):
     return ct0, ct1
 
 
-@jax.jit
-def _decrypt_double_pt(ct0, ct1, sk, pack):
+@functools.partial(jax.jit, static_argnums=(3,))
+def _decrypt_double_pt(ct0, ct1, sk, level, pack):
     """pt = ct0 + ct1*sk (reference: ckks_engine.py:535-577)."""
+    sk = ops.fit_channels(sk[:, level:], pack.q2.shape[1])
     a_n = ops.enter_ntt(ct1, pack)
     sa = ops.intt_exit(ops.mont_mult(a_n, sk, pack), pack)
     return ops.reduce_2q(ops.mont_add(ct0, sa, pack), pack)
 
 
-@jax.jit
-def _decrypt_triplet_pt(d0, d1, d2, sk, pack):
+@functools.partial(jax.jit, static_argnums=(4,))
+def _decrypt_triplet_pt(d0, d1, d2, sk, level, pack):
     """pt = d0 + d1*sk + d2*sk^2 (reference: ckks_engine.py:482-533)."""
+    sk = ops.fit_channels(sk[:, level:], pack.q2.shape[1])
     d0_p = ops.intt_exit_reduce(d0, pack)
     d1_s = ops.intt_exit(ops.mont_mult(d1, sk, pack), pack)
     s2 = ops.mont_mult(sk, sk, pack)
@@ -154,7 +168,7 @@ def _rescale_core(d, rs, round_half, pack_next):
     """Drop the rescale channel: (d - s) * q_l^{-1} with exact rounding
     (reference: ckks_engine.py:967-1052). round_half=None disables rounding."""
     s = d[:, 0:1]
-    body = d[:, 1:]
+    body = ops.fit_channels(d[:, 1:], pack_next.q2.shape[1])
     s_b = (jnp.broadcast_to(s[0], body[0].shape),
            jnp.broadcast_to(s[1], body[1].shape))
     diff = u64.pack(*u64.sub((body[0], body[1]), s_b))
@@ -213,8 +227,14 @@ def _relin_post(d0, d1, s0, s1, pack):
     return c0, c1
 
 
-@jax.jit
-def _scalar_mult_core(d, mont, pack):
+@functools.partial(jax.jit, static_argnums=(3,))
+def _scalar_mult_core(d, mont, pack, drop=0):
+    """Per-channel scalar multiply; ``drop`` channels are sliced off the
+    front first (the level_up channel drop), with the width fitted to the
+    pack inside the trace."""
+    if drop:
+        d = d[:, drop:]
+    d = ops.fit_channels(d, pack.q2.shape[1])
     return ops.reduce_2q(ops.mont_enter_scalar(d, mont, pack), pack)
 
 
@@ -249,6 +269,7 @@ def _rotate_sk_core(sk, gather, neg, pack):
     form commutes with permutation; reference: ckks_engine.py:1161-1164).
     Negatives are canonicalized back to [0, 2q) so the resulting key stays
     on the fast unsigned Montgomery path."""
+    sk = ops.fit_channels(sk, pack.q2.shape[1])
     c = ops.intt(sk, pack)
     r = ops.apply_signed_perm(c, gather, neg)
     r = ops.canon_2q(r, pack)
@@ -262,15 +283,17 @@ def _rotate_ct_core(d, gather, neg, pack):
     return ops.reduce_2q(r, pack)
 
 
-@jax.jit
-def _mp_decrypt_head(ct0, ct1, sk, pack):
+@functools.partial(jax.jit, static_argnums=(3,))
+def _mp_decrypt_head(ct0, ct1, sk, level, pack):
+    sk = ops.fit_channels(sk[:, level:], pack.q2.shape[1])
     a_n = ops.enter_ntt(ct1, pack)
     sa = ops.intt_exit(ops.mont_mult(a_n, sk, pack), pack)
     return ops.mont_add(ct0, sa, pack)
 
 
-@jax.jit
-def _mp_decrypt_partial(ct1, sk, pack):
+@functools.partial(jax.jit, static_argnums=(2,))
+def _mp_decrypt_partial(ct1, sk, level, pack):
+    sk = ops.fit_channels(sk[:, level:], pack.q2.shape[1])
     a_n = ops.enter_ntt(ct1, pack)
     return ops.intt_exit(ops.mont_mult(a_n, sk, pack), pack)
 
@@ -300,19 +323,37 @@ def _enable_compile_cache():
         pass
 
 
+@errors.log_error
 class CkksEngine:
     """The user-facing CKKS engine (reference: ckks_engine.py:22-2726).
 
     All public methods mirror the reference API; DataStructs carry packed
-    uint32-limb jnp arrays instead of per-device torch tensors.
+    uint32-limb jnp arrays instead of per-device torch tensors. The class
+    decorator wraps every public method with exception logging, like the
+    reference's per-method @errors.log_error
+    (reference: ckks_engine.py throughout).
     """
 
     def __init__(self, devices=None, verbose: bool = False,
                  bias_guard: bool = True, norm: str = "forward",
-                 seed=None, mesh_shape=None, **ctx_params):
+                 seed=None, mesh_shape=None, mesh=None, **ctx_params):
         _enable_compile_cache()
-        # mesh_shape is the TPU analogue of the reference's ``devices`` list:
-        # how many chips the RNS channel axis spans (see liberate_tpu.parallel).
+        # mesh / mesh_shape are the TPU analogue of the reference's
+        # ``devices`` list: how many chips the RNS channel axis spans.
+        # With a mesh, every channel axis (data and pack constants) is
+        # padded to a multiple of the mesh size and placed channel-sharded;
+        # GSPMD then turns the jitted pipelines into per-chip programs with
+        # ICI collectives where the reference does manual peer copies
+        # (see liberate_tpu.parallel).
+        if mesh is None and mesh_shape is not None:
+            from ..parallel import make_mesh
+            n = (int(np.prod(mesh_shape))
+                 if isinstance(mesh_shape, (tuple, list)) else int(mesh_shape))
+            mesh = make_mesh(n)
+        self.mesh = mesh
+        self.mesh_axis = "rns"
+        self.channel_quantum = (
+            int(np.prod(mesh.devices.shape)) if mesh is not None else 1)
         self.mesh_shape = mesh_shape
         self.devices = devices
         self.bias_guard = bias_guard
@@ -322,7 +363,9 @@ class CkksEngine:
         self.version = VERSION
 
         self.ctx = CkksContext(**ctx_params)
-        self.ntt = NttContext(self.ctx, verbose=verbose)
+        self.ntt = NttContext(self.ctx, verbose=verbose,
+                              channel_quantum=self.channel_quantum,
+                              mesh=mesh, mesh_axis=self.mesh_axis)
 
         # The deepest usable level (reference: ckks_engine.py:52).
         self.num_levels = self.ntt.num_levels - 1
@@ -347,7 +390,6 @@ class CkksEngine:
         self.galois_deltas = [2 ** i for i in range(self.ctx.logN - 1)]
         self._switcher_cache = {}
         self._perm_device_cache = {}
-        self._ksk_slice_cache = {}
 
         self.mult_dispatch = {
             (DataStruct, DataStruct): self.auto_cc_mult,
@@ -422,7 +464,8 @@ class CkksEngine:
         P = math.prod(self.ctx.q[-self.num_special:])
         PR = P * self.ctx.R
         vals = [PR % q for q in self.ctx.q[:self.num_ordinary]]
-        self.mont_PR = jnp.asarray(_pack_list(vals))
+        self.mont_PR = jnp.asarray(
+            _pack_list(vals, pad_to=self.ntt.padded_channels(0, -1)))
 
     def _create_ksk_rescales(self):
         """P_j^{-1}*R mod q_i tables for the special-prime mod-down
@@ -442,18 +485,22 @@ class CkksEngine:
         for level in range(self.num_levels):
             q_lvl = ctx.q[level:]
             C_sp = len(q_lvl)
+            W_sp = self.ntt.padded_channels(level, -2)
             n_ord = C_sp - self.num_special
             per_level = []
             for P_ind, Pj in enumerate(P):
                 live = C_sp - P_ind - 1
                 vals = [(pow(Pj, -1, mi) * R) % mi for mi in q_lvl[:live]]
                 vals += [R % mi for mi in q_lvl[live:]]
+                # Padded rows ride the identity of the repeated last prime.
+                vals += [R % q_lvl[-1]] * (W_sp - C_sp)
                 per_level.append(jnp.asarray(_pack_list(vals)))
             self.PiRs.append(per_level)
             # "Enter Montgomery on ordinary rows only": x R^2 on ordinary,
             # identity (x R) on special rows.
             vals = [Rs for Rs in ctx.R_square[level:level + n_ord]]
             vals += [R % mi for mi in q_lvl[n_ord:]]
+            vals += [R % q_lvl[-1]] * (W_sp - C_sp)
             self.enter_ord.append(jnp.asarray(_pack_list(vals)))
 
         # Montgomery identity scalars (R mod q): montmul(x, R) == x mod q.
@@ -462,8 +509,10 @@ class CkksEngine:
         self.mont_identity = []
         for level in range(self.num_levels):
             q_lvl = ctx.q[level:]
-            self.mont_identity.append(jnp.asarray(
-                _pack_list([ctx.R % mi for mi in q_lvl])))
+            W_sp = self.ntt.padded_channels(level, -2)
+            vals = [ctx.R % mi for mi in q_lvl]
+            vals += [ctx.R % q_lvl[-1]] * (W_sp - len(q_lvl))
+            self.mont_identity.append(jnp.asarray(_pack_list(vals)))
 
     def _create_rescale_scales(self):
         """q_l^{-1}*R mod q_i for the channels that survive the rescale at
@@ -474,16 +523,32 @@ class CkksEngine:
             m0 = ctx.q[level]
             m = ctx.q[level + 1:self.num_ordinary]
             vals = [(pow(m0, -1, mi) * ctx.R) % mi for mi in m]
-            self.rescale_scales.append(jnp.asarray(_pack_list(vals)))
+            self.rescale_scales.append(jnp.asarray(_pack_list(
+                vals, pad_to=self.ntt.padded_channels(level + 1, -1)
+                if level + 1 < self.num_levels else None)))
 
     # -- pack helpers ----------------------------------------------------------
 
     def pack(self, level: int, mult_type: int = -1) -> LevelPack:
         return self.ntt.level_pack(level, mult_type)
 
-    def _key_slice(self, key_data, level):
-        """Slice a level-0 key layout down to this level's channel suffix."""
-        return key_data[:, level:, :]
+    def _rns_sharding(self, ndim: int):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P(*([None] * (ndim - 2)), self.mesh_axis, None)
+        return NamedSharding(self.mesh, spec)
+
+    def _shard_ds(self, ds):
+        """Constrain a DataStruct's polys to the channel-sharded layout.
+
+        A no-op without a mesh, and a no-copy when GSPMD already produced
+        the right sharding; used at DataStruct creation points so data at
+        rest is always evenly channel-sharded (padded widths guarantee
+        divisibility)."""
+        if self.mesh is None:
+            return ds
+        return jax.tree_util.tree_map(
+            lambda x: (jax.device_put(x, self._rns_sharding(x.ndim))
+                       if hasattr(x, "ndim") and x.ndim >= 3 else x), ds)
 
     # -- example generation (reference: ckks_engine.py:269-296) -----------------
 
@@ -540,8 +605,8 @@ class CkksEngine:
         ternary = self.rng.randint(amax=3, shift=-1, repeats=1)
         mult_type = -2 if include_special else -1
         sk = _sk_core(ternary, self.pack(0, mult_type))
-        return DataStruct(sk, include_special, True, True,
-                          types.origins["sk"], 0, self.hash)
+        return self._shard_ds(DataStruct(sk, include_special, True, True,
+                                         types.origins["sk"], 0, self.hash))
 
     def create_public_key(self, sk: DataStruct, include_special: bool = False,
                           a=None, crs=None) -> DataStruct:
@@ -561,11 +626,10 @@ class CkksEngine:
             q = self.ntt.q_ints(0, mult_type)
             a = self.rng.randint(amax=q, repeats=repeats)
 
-        C = self.ntt.num_channels(0, mult_type)
-        sk_data = sk.data[:, :C, :]
-        pk0 = _pk_core(e, a, sk_data, pack)
-        return DataStruct((pk0, a), include_special, True, True,
-                          types.origins["pk"], 0, self.hash)
+        pk0, a_fit = _pk_core(e, a, sk.data, pack)
+        return self._shard_ds(
+            DataStruct((pk0, a_fit), include_special, True, True,
+                       types.origins["pk"], 0, self.hash))
 
     # -- encrypt / decrypt --------------------------------------------------------
 
@@ -574,35 +638,33 @@ class CkksEngine:
             raise errors.NotMatchType(origin=pk.origin, to=types.origins["pk"])
         mult_type = -2 if pk.include_special else -1
         pack = self.pack(level, mult_type)
-        C = self.ntt.num_channels(level, mult_type)
+        W = self.ntt.padded_channels(level, mult_type)
 
         e0e1 = self.rng.discrete_gaussian(repeats=2)
         e0, e1 = e0e1[:, 0:1], e0e1[:, 1:2]
         v = self.rng.randint(amax=2, shift=0, repeats=1)
 
-        pk0 = self._key_slice(pk.data[0], level)
-        pk1 = self._key_slice(pk.data[1], level)
-
-        dc = jnp.zeros((2, C), dtype=jnp.uint32)
-        ct0, ct1 = _encrypt_core(pt, dc, e0, e1, v, pk0, pk1, pack)
-        return DataStruct((ct0, ct1), mult_type == -2, False, False,
-                          types.origins["ct"], level, self.hash)
+        dc = jnp.zeros((2, W), dtype=jnp.uint32)
+        ct0, ct1 = _encrypt_core(pt, dc, e0, e1, v, pk.data[0], pk.data[1],
+                                 level, pack)
+        return self._shard_ds(
+            DataStruct((ct0, ct1), mult_type == -2, False, False,
+                       types.origins["ct"], level, self.hash))
 
     def _decrypt_pt(self, ct: DataStruct, sk: DataStruct):
         """Raw decryption to the plaintext RNS poly (no final rescale)."""
         level = ct.level
         pack = self.pack(level, -1)
-        C = self.ntt.num_channels(level, -1)
-        sk_data = sk.data[:, level:level + C, :]
         if ct.origin == types.origins["ct"]:
             if ct.ntt_state or ct.montgomery_state:
                 raise errors.NotMatchDataStructState(origin=ct.origin)
-            return _decrypt_double_pt(ct.data[0], ct.data[1], sk_data, pack)
+            return _decrypt_double_pt(ct.data[0], ct.data[1], sk.data,
+                                      level, pack)
         if ct.origin == types.origins["ctt"]:
             if not ct.ntt_state or not ct.montgomery_state:
                 raise errors.NotMatchDataStructState(origin=ct.origin)
             return _decrypt_triplet_pt(ct.data[0], ct.data[1], ct.data[2],
-                                       sk_data, pack)
+                                       sk.data, level, pack)
         raise errors.NotMatchType(origin=ct.origin, to="ct or ctt")
 
     def _final_rescale_signed(self, pt, level, final_round=True):
@@ -648,13 +710,13 @@ class CkksEngine:
             m = self.padding(m)
         mult_type = -2 if pk.include_special else -1
         pack = self.pack(level, mult_type)
-        C = self.ntt.num_channels(level, mult_type)
+        W = self.ntt.padded_channels(level, mult_type)
         q_lvl = self.ntt.q_ints(level, mult_type)
 
         pt = encdec.encode(m, rng=self.rng, scale=self.scale,
                            deviation=self.deviations[level], norm=self.norm,
                            return_without_scaling=self.bias_guard)
-        dc = jnp.zeros((2, C), dtype=jnp.uint32)
+        dc = jnp.zeros((2, W), dtype=jnp.uint32)
         if self.bias_guard:
             # Split the integral DC part into RNS to dodge single-channel
             # overflow (reference: ckks_engine.py:1485-1499).
@@ -662,19 +724,20 @@ class CkksEngine:
             pt = pt.copy()
             pt[0] -= dc_integral
             dc_scale = int(dc_integral) * self.int_scale
-            dc = jnp.asarray(_pack_list([dc_scale % qi for qi in q_lvl]))
+            dc = jnp.asarray(_pack_list([dc_scale % qi for qi in q_lvl],
+                                        pad_to=W, pad_value=0))
             pt = self.rng.randround(pt * self.scale)
         pt = jnp.asarray(u64.from_int64_np(pt[None, :]))
 
         e0e1 = self.rng.discrete_gaussian(repeats=2)
         e0, e1 = e0e1[:, 0:1], e0e1[:, 1:2]
         v = self.rng.randint(amax=2, shift=0, repeats=1)
-        pk0 = self._key_slice(pk.data[0], level)
-        pk1 = self._key_slice(pk.data[1], level)
 
-        ct0, ct1 = _encrypt_core(pt, dc, e0, e1, v, pk0, pk1, pack)
-        return DataStruct((ct0, ct1), mult_type == -2, False, False,
-                          types.origins["ct"], level, self.hash)
+        ct0, ct1 = _encrypt_core(pt, dc, e0, e1, v, pk.data[0], pk.data[1],
+                                 level, pack)
+        return self._shard_ds(
+            DataStruct((ct0, ct1), mult_type == -2, False, False,
+                       types.origins["ct"], level, self.hash))
 
     def decryptcode(self, ct: DataStruct, sk: DataStruct, is_real=False,
                     final_round=True):
@@ -682,7 +745,7 @@ class CkksEngine:
             raise errors.NotMatchDataStructState(origin=sk.origin)
         level = ct.level
         pt = self._decrypt_pt(ct, sk)
-        C = pt.shape[1]
+        C = self.ntt.num_channels(level, -1)
         base_at = self.num_ordinary - 1 - level
 
         dc = 0
@@ -732,12 +795,18 @@ class CkksEngine:
     def cc_add_double(self, a: DataStruct, b: DataStruct) -> DataStruct:
         if a.ntt_state or a.montgomery_state:
             raise errors.NotMatchDataStructState(origin=a.origin)
+        if b.ntt_state or b.montgomery_state:
+            raise errors.NotMatchDataStructState(origin=b.origin)
+        if a.level != b.level:
+            raise errors.NotSameLevelError(a=a.level, b=b.level)
         pack = self.pack(a.level, -1)
         c0, c1 = _add_core(a.data[0], a.data[1], b.data[0], b.data[1], pack)
         return DataStruct((c0, c1), False, False, False,
                           types.origins["ct"], a.level, self.hash)
 
     def cc_add_triplet(self, a: DataStruct, b: DataStruct) -> DataStruct:
+        if a.level != b.level:
+            raise errors.NotSameLevelError(a=a.level, b=b.level)
         pack = self.pack(a.level, -1)
         c0, c1 = _add_core(a.data[0], a.data[1], b.data[0], b.data[1], pack)
         c2 = ops.reduce_2q(ops.mont_add(a.data[2], b.data[2], pack), pack)
@@ -755,12 +824,18 @@ class CkksEngine:
     def cc_sub_double(self, a: DataStruct, b: DataStruct) -> DataStruct:
         if a.ntt_state or a.montgomery_state:
             raise errors.NotMatchDataStructState(origin=a.origin)
+        if b.ntt_state or b.montgomery_state:
+            raise errors.NotMatchDataStructState(origin=b.origin)
+        if a.level != b.level:
+            raise errors.NotSameLevelError(a=a.level, b=b.level)
         pack = self.pack(a.level, -1)
         c0, c1 = _sub_core(a.data[0], a.data[1], b.data[0], b.data[1], pack)
         return DataStruct((c0, c1), False, False, False,
                           types.origins["ct"], a.level, self.hash)
 
     def cc_sub_triplet(self, a: DataStruct, b: DataStruct) -> DataStruct:
+        if a.level != b.level:
+            raise errors.NotSameLevelError(a=a.level, b=b.level)
         pack = self.pack(a.level, -1)
         c0, c1 = _sub_core(a.data[0], a.data[1], b.data[0], b.data[1], pack)
         c2 = ops.reduce_2q(ops.mont_sub(a.data[2], b.data[2], pack), pack)
@@ -793,10 +868,10 @@ class CkksEngine:
             raise errors.NotMatchDataStructState(origin=sk_from.origin)
 
         pack_ord = self.pack(0, -1)
-        n_ord = self.num_ordinary
+        W_ord = self.ntt.padded_channels(0, -1)
         # Signed: a rotated sk_from may hold wrapped-negative coefficients.
-        Psk = ops.mont_enter_scalar(sk_from.data[:, :n_ord], self.mont_PR,
-                                    pack_ord, signed=True)
+        Psk = ops.mont_enter_scalar(ops.fit_channels(sk_from.data, W_ord),
+                                    self.mont_PR, pack_ord, signed=True)
 
         parts = self.ntt.parts(0)
         ksk = []
@@ -811,8 +886,8 @@ class CkksEngine:
                 origin=f"key switch key part index {part.part_id}")
             ksk.append(pk)
 
-        return DataStruct(ksk, True, True, True,
-                          types.origins["ksk"], 0, self.hash)
+        return self._shard_ds(DataStruct(ksk, True, True, True,
+                                         types.origins["ksk"], 0, self.hash))
 
     def _switcher_fn(self, level: int, exit_ntt: bool):
         """Build (and cache) the jitted key-switch core for one level.
@@ -832,6 +907,9 @@ class CkksEngine:
         n_sp = self.num_special
         n_ord = self.ntt.num_channels(level, -1)
         C_sp = self.ntt.num_channels(level, -2)
+        # Padded widths (multi-chip layout; == real counts on one chip).
+        W_sp = self.ntt.padded_channels(level, -2)
+        W_ord = self.ntt.padded_channels(level, -1)
         lvl = level
 
         def pre_extend(a, start, alpha, part_pack, plan):
@@ -867,11 +945,11 @@ class CkksEngine:
             (reference: ckks_engine.py:707-743)."""
             _, _, L_enter = plan
             N = state[0].shape[2]
-            ext = jnp.broadcast_to(state[0], (2, C_sp, N))
+            ext = jnp.broadcast_to(state[0], (2, W_sp, N))
             ext = ops.mont_enter(ext, pack_sp, signed=True)
             for i in range(len(state) - 1):
-                Y = jnp.broadcast_to(state[i + 1], (2, C_sp, N))
-                le = L_enter[i][:, lvl:lvl + C_sp]
+                Y = jnp.broadcast_to(state[i + 1], (2, W_sp, N))
+                le = L_enter[i][:, lvl:lvl + W_sp]
                 Y = ops.mont_enter_scalar(Y, le, pack_sp, signed=True)
                 ext = ops.mont_add(ext, Y, pack_sp)
             return ext
@@ -894,7 +972,7 @@ class CkksEngine:
                 d = jax.lax.optimization_barrier(d)
                 cur = C_sp - P_ind
                 tile = jnp.broadcast_to(d[:, cur - 1:cur],
-                                        (2, C_sp, d.shape[2]))
+                                        (2, W_sp, d.shape[2]))
                 tile = ops.mont_enter_scalar(tile, enter_ord, pack_sp,
                                              signed=True)
                 d = ops.mont_sub(d, tile, pack_sp)
@@ -902,7 +980,7 @@ class CkksEngine:
                                           signed=True)
                 d = ops.reduce_2q(d, pack_sp)
             d = jax.lax.optimization_barrier(d)
-            d = ops.mont_redc_signed(d[:, :n_ord], pack_ord)
+            d = ops.mont_redc_signed(d[:, :W_ord], pack_ord)
             return ops.reduce_2q(d, pack_ord)
 
         def fn(a, ksk0s, ksk1s, plans, part_packs, pack_sp, pack_ord, PiRs,
@@ -912,6 +990,11 @@ class CkksEngine:
             # to the reference's per-(device, part) kernel launches
             # (reference: ckks_engine.py:788-829): bigger fused ops, and a
             # single psum over the part axis when sharded.
+            # ksk halves arrive at their stored level-0 width; the level
+            # slice + padded-width fit is part of the trace (no eager
+            # uneven slicing of sharded key buffers).
+            ksk0s = tuple(ops.fit_channels(k[:, lvl:], W_sp) for k in ksk0s)
+            ksk1s = tuple(ops.fit_channels(k[:, lvl:], W_sp) for k in ksk1s)
             exts = []
             for idx, (start, alpha) in enumerate(parts_meta):
                 state = pre_extend(a, start, alpha, part_packs[idx],
@@ -941,23 +1024,6 @@ class CkksEngine:
         self._switcher_cache[key] = jitted
         return jitted
 
-    def _ksk_slices(self, ksk: DataStruct, level: int):
-        """Level-sliced, part-ordered ksk halves, cached per (ksk, level):
-        the slices are real device copies for level > 0 and would otherwise
-        be re-materialized on every switch."""
-        # Keyed by the DataStruct itself (identity hash): an id()-keyed
-        # cache collides when a dead key's id is reused by the allocator.
-        cache = self._ksk_slice_cache.setdefault(ksk, {})
-        if level not in cache:
-            parts = self.ntt.parts(level)
-            cache[level] = (
-                tuple(ksk.data[p.part_id].data[0][:, level:, :]
-                      for p in parts),
-                tuple(ksk.data[p.part_id].data[1][:, level:, :]
-                      for p in parts),
-            )
-        return cache[level]
-
     def create_switcher(self, a, ksk: DataStruct, level: int,
                         exit_ntt: bool = False):
         """Key-switch the polynomial ``a`` [2, C_ord, N]: returns (d0, d1)
@@ -965,7 +1031,11 @@ class CkksEngine:
         parts = self.ntt.parts(level)
         plans = tuple((p.Y_scalar, p.L_scalar, p.L_enter) for p in parts)
         part_packs = tuple(p.pack for p in parts)
-        ksk0s, ksk1s = self._ksk_slices(ksk, level)
+        # Full-width key halves; the jitted switcher slices them to the
+        # level inside the trace (the XLA executable fuses the slice — no
+        # per-(ksk, level) device copies to cache, no key-buffer retention).
+        ksk0s = tuple(ksk.data[p.part_id].data[0] for p in parts)
+        ksk1s = tuple(ksk.data[p.part_id].data[1] for p in parts)
         fn = self._switcher_fn(level, exit_ntt)
         return fn(a, ksk0s, ksk1s, plans, part_packs,
                   self.pack(level, -2), self.pack(level, -1),
@@ -1065,15 +1135,13 @@ class CkksEngine:
         deviated_delta = round(self.scale * diff_deviation)
 
         drop = dst_level - src_level
-        d0 = new_ct.data[0][:, drop:]
-        d1 = new_ct.data[1][:, drop:]
-
         q_dst = self.ntt.q_ints(dst_level, -1)
         mult = jnp.asarray(_pack_list(
-            [(deviated_delta * self.ctx.R) % qi for qi in q_dst]))
+            [(deviated_delta * self.ctx.R) % qi for qi in q_dst],
+            pad_to=self.ntt.padded_channels(dst_level, -1)))
         pack_dst = self.pack(dst_level, -1)
-        d0 = _scalar_mult_core(d0, mult, pack_dst)
-        d1 = _scalar_mult_core(d1, mult, pack_dst)
+        d0 = _scalar_mult_core(new_ct.data[0], mult, pack_dst, drop)
+        d1 = _scalar_mult_core(new_ct.data[1], mult, pack_dst, drop)
         return DataStruct((d0, d1), False, False, False,
                           types.origins["ct"], dst_level, self.hash)
 
@@ -1103,7 +1171,8 @@ class CkksEngine:
     def _scalar_to_mont(self, value: int, level: int):
         q_lvl = self.ntt.q_ints(level, -1)
         return jnp.asarray(_pack_list(
-            [(value * self.ctx.R) % qi for qi in q_lvl]))
+            [(value * self.ctx.R) % qi for qi in q_lvl],
+            pad_to=self.ntt.padded_channels(level, -1)))
 
     def mult_int_scalar(self, ct: DataStruct, scalar, evk=None, relin=True):
         if ct.origin != types.origins["ct"]:
@@ -1128,7 +1197,9 @@ class CkksEngine:
             scaled_scalar *= self.ctx.N
         scaled_scalar *= self.int_scale
         q_lvl = self.ntt.q_ints(ct.level, -1)
-        vals = jnp.asarray(_pack_list([scaled_scalar % qi for qi in q_lvl]))
+        vals = jnp.asarray(_pack_list(
+            [scaled_scalar % qi for qi in q_lvl],
+            pad_to=self.ntt.padded_channels(ct.level, -1), pad_value=0))
         pack = self.pack(ct.level, -1)
         d0 = _add_dc_core(ct.data[0], vals, pack)
         return ct._replace(data=(d0,) + tuple(ct.data[1:]))
@@ -1182,11 +1253,9 @@ class CkksEngine:
         """Apply a signed coefficient permutation to sk (coefficient domain
         round-trip; Montgomery form commutes with permutation)."""
         pack = self.pack(0, -1)
-        n_ord = self.num_ordinary
-        sk_ord = sk.data[:, :n_ord]
         gather = jnp.asarray(perm_data[0])
         neg = jnp.asarray(perm_data[1])
-        rotated = _rotate_sk_core(sk_ord, gather, neg, pack)
+        rotated = _rotate_sk_core(sk.data, gather, neg, pack)
         return DataStruct(rotated, False, True, True,
                           types.origins["sk"], 0, self.hash)
 
@@ -1353,17 +1422,13 @@ class CkksEngine:
         """ct0 + a*sk_0 (party 0; reference: ckks_engine.py:2447-2470)."""
         level = ct.level
         pack = self.pack(level, -1)
-        C = self.ntt.num_channels(level, -1)
-        sk_data = sk.data[:, level:level + C, :]
-        return _mp_decrypt_head(ct.data[0], ct.data[1], sk_data, pack)
+        return _mp_decrypt_head(ct.data[0], ct.data[1], sk.data, level, pack)
 
     def multiparty_decrypt_partial(self, ct: DataStruct, sk: DataStruct):
         """a*sk_i (party i; reference: ckks_engine.py:2472-2493)."""
         level = ct.level
         pack = self.pack(level, -1)
-        C = self.ntt.num_channels(level, -1)
-        sk_data = sk.data[:, level:level + C, :]
-        return _mp_decrypt_partial(ct.data[1], sk_data, pack)
+        return _mp_decrypt_partial(ct.data[1], sk.data, level, pack)
 
     def multiparty_decrypt_fusion(self, pcts: list, level=0,
                                   include_special=False):
@@ -1577,7 +1642,11 @@ def _pack_scalar(v: int) -> np.ndarray:
     return _pack_list([v])
 
 
-def _pack_list(vals) -> np.ndarray:
+def _pack_list(vals, pad_to=None, pad_value=None) -> np.ndarray:
+    vals = list(vals)
+    if pad_to is not None and pad_to > len(vals):
+        fill = vals[-1] if pad_value is None else pad_value
+        vals = vals + [fill] * (pad_to - len(vals))
     arr = np.array([int(v) & 0xFFFFFFFFFFFFFFFF for v in vals],
                    dtype=np.uint64)
     lo = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)

@@ -11,8 +11,17 @@ logger = logging.getLogger("liberate_tpu")
 
 
 def log_error(func_or_class):
-    """Decorator that logs exceptions raised by public API entry points."""
+    """Decorator that logs exceptions raised by public API entry points.
+
+    The reference applies it per-method throughout ckks_engine
+    (reference: src/liberate/fhe/presets/errors.py:5-14); applied to a
+    CLASS it wraps every public method in place, so ``@log_error`` on
+    CkksEngine covers the whole API surface.
+    """
     if isinstance(func_or_class, type):
+        for name, attr in list(vars(func_or_class).items()):
+            if callable(attr) and not name.startswith("_"):
+                setattr(func_or_class, name, log_error(attr))
         return func_or_class
 
     @functools.wraps(func_or_class)
@@ -89,6 +98,13 @@ class MaximumLevelError(LiberateTpuError):
             f"Cannot rescale past the maximum level: level={level}, "
             f"maximum={level_max}."
         )
+
+
+class NotSameLevelError(LiberateTpuError):
+    def __init__(self, a=None, b=None):
+        super().__init__(
+            f"Operand levels differ ({a} vs {b}); use auto_level / "
+            f"level_up to align them first.")
 
 
 class DifferentTypeError(LiberateTpuError):

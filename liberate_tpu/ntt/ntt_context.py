@@ -70,9 +70,21 @@ def _pack_ints(vals) -> np.ndarray:
 
 
 class NttContext:
-    def __init__(self, ctx, num_devices: int = 1, verbose: bool = False):
+    def __init__(self, ctx, num_devices: int = 1, verbose: bool = False,
+                 channel_quantum: int = 1, mesh=None, mesh_axis: str = "rns"):
+        """channel_quantum: pad every channel axis to a multiple of this (the
+        mesh size), so channel-sharded placement never hits GSPMD's
+        divisibility restriction — the TPU answer to the reference's uneven
+        round-robin channel deal (reference: rns_partition.py:29-37).
+        Padding repeats the last real channel's constants; real channels are
+        always the contiguous prefix. mesh: when given, full-width pack
+        arrays are placed channel-sharded over its ``mesh_axis`` so sharding
+        propagates from the packs through every jitted pipeline."""
         self.ctx = ctx
         self.num_devices = num_devices
+        self.channel_quantum = int(channel_quantum)
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
 
         self.num_ordinary_primes = ctx.num_scales + 1
         self.num_special_primes = ctx.num_special_primes
@@ -141,35 +153,63 @@ class NttContext:
         start, stop = self.channel_range(level, mult_type)
         return stop - start
 
+    def padded_channels(self, level: int, mult_type: int) -> int:
+        """Channel-axis width after padding to the channel quantum."""
+        C = self.num_channels(level, mult_type)
+        Q = self.channel_quantum
+        return -(-C // Q) * Q
+
     def q_ints(self, level: int, mult_type: int):
         start, stop = self.channel_range(level, mult_type)
         return self.q_list[start:stop]
 
     # -- pack construction ---------------------------------------------------------
 
-    def _make_pack(self, idx, with_psi=True) -> LevelPack:
-        """Build a LevelPack over an arbitrary channel index list/slice."""
+    def _place(self, x):
+        """Materialize a pack constant; channel-sharded when a mesh is set.
+
+        Pack layouts put the channel axis at position -1 ([C]), or at
+        position 1 of [2, C] / [2, C, N]."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = (P(self.mesh_axis) if x.ndim == 1
+                else P(None, self.mesh_axis)
+                if x.ndim == 2 else P(None, self.mesh_axis, None))
+        return jax.device_put(np.asarray(x), NamedSharding(self.mesh, spec))
+
+    def _make_pack(self, idx, with_psi=True, pad_to=None,
+                   sharded=False) -> LevelPack:
+        """Build a LevelPack over an arbitrary channel index list/slice.
+
+        pad_to: extend the channel set to this width by repeating the last
+        index (the multi-chip padding convention — see fit_channels).
+        """
         idx = np.asarray(idx)
-        N = self.ctx.N
-        logN = self.logN
+        if pad_to is not None and pad_to > idx.size:
+            idx = np.concatenate(
+                [idx, np.full(pad_to - idx.size, idx[-1], dtype=idx.dtype)])
+        place = self._place if sharded else jnp.asarray
         psi = ipsi = None
         pallas_plan = None
         if with_psi:
             # Full bit-reverse-ordered banks [2, C, N]; stage s addresses
             # entries [2^s : 2^{s+1}) via the shared index banks in ops.
-            psi = jnp.asarray(self._psi_mont[:, idx, :])
-            ipsi = jnp.asarray(self._ipsi_mont[:, idx, :])
+            psi = place(self._psi_mont[:, idx, :])
+            ipsi = place(self._ipsi_mont[:, idx, :])
             pallas_plan = self._maybe_pallas_plan(idx)
         return LevelPack(
             pallas=pallas_plan,
-            ql=jnp.asarray(self._ql[idx]),
-            qh=jnp.asarray(self._qh[idx]),
-            kl=jnp.asarray(self._kl[idx]),
-            kh=jnp.asarray(self._kh[idx]),
-            q2=jnp.asarray(self._q2[:, idx]),
-            Rs=jnp.asarray(self._Rs[:, idx]),
-            Rs_scale=jnp.asarray(self._Rs_scale[:, idx]),
-            Ninv=jnp.asarray(self._Ninv[:, idx]),
+            ql=place(self._ql[idx]),
+            qh=place(self._qh[idx]),
+            kl=place(self._kl[idx]),
+            kh=place(self._kh[idx]),
+            q2=place(self._q2[:, idx]),
+            Rs=place(self._Rs[:, idx]),
+            Rs_scale=place(self._Rs_scale[:, idx]),
+            Ninv=place(self._Ninv[:, idx]),
             psi=psi,
             ipsi=ipsi,
         )
@@ -178,7 +218,10 @@ class NttContext:
         key = (level, mult_type)
         if key not in self._level_packs:
             start, stop = self.channel_range(level, mult_type)
-            self._level_packs[key] = self._make_pack(np.arange(start, stop))
+            self._level_packs[key] = self._make_pack(
+                np.arange(start, stop),
+                pad_to=self.padded_channels(level, mult_type),
+                sharded=True)
         return self._level_packs[key]
 
     def _maybe_pallas_plan(self, idx):
@@ -194,6 +237,12 @@ class NttContext:
         # pipelines crashes this environment's remote TPU compile helper
         # non-deterministically (see pallas_ntt.CSLAB) — platinum uses the
         # XLA path until that is resolved.
+        # GSPMD cannot partition pallas_call automatically: the sharded
+        # multi-chip path runs the XLA ops (pallas-under-shard_map is the
+        # planned follow-up), so packs built for a >1-chip layout carry no
+        # plan.
+        if self.channel_quantum > 1 or self.mesh is not None:
+            return None
         if not config.pallas_enabled() or not (8 <= self.logN <= 16):
             return None
         from . import pallas_ntt
@@ -271,12 +320,17 @@ class NttContext:
                     )))
                 L_scalar = tuple(ls)
                 # L_enter over the full level-0 with-special layout
-                # (reference: ntt_context.py:349-363).
+                # (reference: ntt_context.py:349-363), extended by the
+                # channel quantum so a level's padded-width slice
+                # [level : level + W_sp] never runs past the end.
+                q_ext = list(ctx.q) + [ctx.q[-1]] * self.channel_quantum
+                Rs_ext = (list(ctx.R_square)
+                          + [ctx.R_square[-1]] * self.channel_quantum)
                 le = []
                 for i in range(alpha - 1):
                     le.append(jnp.asarray(_pack_ints(
                         [(L[i] * Rs) % q
-                         for q, Rs in zip(ctx.q, ctx.R_square)]
+                         for q, Rs in zip(q_ext, Rs_ext)]
                     )))
                 L_enter = tuple(le)
 

@@ -29,6 +29,7 @@ __all__ = [
     "mont_mult", "mont_mult_signed", "mont_enter", "mont_enter_scale",
     "mont_enter_scalar", "mont_redc", "mont_add", "mont_sub",
     "reduce_2q", "make_signed", "make_unsigned", "tile_unsigned",
+    "fit_channels",
     "ntt", "intt", "enter_ntt", "intt_exit", "intt_exit_reduce",
     "intt_exit_reduce_signed", "neg",
 ]
@@ -128,6 +129,25 @@ def pack_slice(pack, start, stop, with_psi=False):
         Rs_scale=pack.Rs_scale[:, start:stop], Ninv=pack.Ninv[:, start:stop],
         psi=psi, ipsi=ipsi,
     )
+
+
+def fit_channels(d, W):
+    """Slice or edge-pad the channel axis (axis -2) to width ``W``.
+
+    The multi-chip layout pads every channel axis to a multiple of the mesh
+    size (see liberate_tpu.parallel): real channels are always a contiguous
+    prefix, padding repeats the last real channel (whose pack constants are
+    likewise repeated), so padded rows stay bounded under every modular op
+    and are simply never read back.
+    """
+    C = d.shape[-2]
+    if C == W:
+        return d
+    if C > W:
+        return d[..., :W, :]
+    pad = [(0, 0)] * d.ndim
+    pad[-2] = (0, W - C)
+    return jnp.pad(d, pad, mode="edge")
 
 
 def mont_add(a, b, pack):

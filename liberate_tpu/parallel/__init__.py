@@ -17,6 +17,7 @@ from .sharding import (
     shard_datastruct,
     replicate_datastruct,
     rns_sharding,
+    pad_channels_to,
 )
 
 __all__ = [
@@ -25,4 +26,5 @@ __all__ = [
     "shard_datastruct",
     "replicate_datastruct",
     "rns_sharding",
+    "pad_channels_to",
 ]

@@ -5,15 +5,20 @@ the reference's multi-GPU partitioning (reference: src/liberate/ntt/
 rns_partition.py:4-37) — per-channel NTTs are chip-local, so the only
 cross-chip communication in the whole scheme is:
 
-- the gadget-part accumulation in key switching (psum over parts),
-- the dropped-channel broadcast in rescale,
+- the gadget-part basis-extension state broadcast in key switching,
+- the dropped-channel broadcast in rescale / special-prime mod-down,
 - share aggregation in multiparty protocols (psum over DCN for multi-host).
 
-GSPMD handles all three automatically from the sharding annotations on the
-jitted engine pipelines; there is no hand-written collective in the hot
-path. Uneven channel counts per level are handled by GSPMD's implicit
-padding, mirroring the reference's uneven round-robin deal
-(reference: rns_partition.py:29-37).
+GSPMD inserts all of these automatically from the sharding annotations on
+the jitted engine pipelines; there is no hand-written collective in the
+hot path. Uneven channel counts (the common case — the reference deals
+channels round-robin, rns_partition.py:29-37) are handled by PADDING every
+channel axis to a multiple of the mesh size ("channel quantum"): real
+channels are a contiguous prefix, padding repeats the last real channel's
+constants so padded rows stay bounded and are never read back. Build the
+engine with ``CkksEngine(mesh=make_mesh(n))`` and all keys/ciphertexts are
+born padded + sharded; use ``shard_datastruct`` only to import
+externally-produced (host) data onto a mesh.
 """
 
 import jax
@@ -37,27 +42,45 @@ def rns_sharding(mesh: Mesh, axis_name="rns") -> NamedSharding:
     return NamedSharding(mesh, P(None, axis_name, None))
 
 
-def _put(x, sharding):
+def pad_channels_to(x, quantum: int):
+    """Pad the channel axis (-2) of a packed poly up to a mesh multiple.
+
+    Edge padding repeats the last real channel — consistent with the
+    engine's padded pack constants (see liberate_tpu.ntt.ops.fit_channels).
+    """
+    C = x.shape[-2]
+    W = -(-C // quantum) * quantum
+    if W == C:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[-2] = (0, W - C)
+    return np.pad(np.asarray(x), pad, mode="edge")
+
+
+def _put(x, mesh, axis_name):
     # Packed polys are [2, C, N] or batched [2, P, C, N]; per-channel
     # constant tables ([C], [2, C]) are small and replicated.
     if hasattr(x, "ndim") and x.ndim >= 3:
-        if x.ndim == 4:
-            s = NamedSharding(sharding.mesh,
-                              P(None, None, *sharding.spec[1:]))
-            return jax.device_put(x, s)
-        return jax.device_put(x, sharding)
-    return jax.device_put(x, NamedSharding(sharding.mesh, P()))
+        n = mesh.devices.size
+        x = pad_channels_to(x, n)
+        spec = P(*([None] * (x.ndim - 2)), axis_name, None)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.device_put(x, NamedSharding(mesh, P()))
 
 
 def shard_poly(x, mesh: Mesh, axis_name="rns"):
     """Place one packed polynomial with its channel axis over the mesh."""
-    return _put(x, rns_sharding(mesh, axis_name))
+    return _put(x, mesh, axis_name)
 
 
 def shard_datastruct(ds: DataStruct, mesh: Mesh, axis_name="rns") -> DataStruct:
-    """Recursively place a DataStruct's polys channel-sharded on the mesh."""
-    sharding = rns_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(lambda x: _put(x, sharding), ds)
+    """Place a DataStruct's polys channel-sharded on the mesh, padding
+    uneven channel counts to the mesh size.
+
+    For data produced by a mesh-aware engine this is a no-copy (already
+    padded + sharded); use it to import host/single-chip data.
+    """
+    return jax.tree_util.tree_map(lambda x: _put(x, mesh, axis_name), ds)
 
 
 def replicate_datastruct(ds: DataStruct, mesh: Mesh) -> DataStruct:
