@@ -75,6 +75,12 @@ def main():
 
     mult_per_s = iters / best
 
+    # NTT roofline: GB/s of the fused forward NTT vs the chip's HBM
+    # bandwidth (BASELINE.md "memory-bound roofline" target). Bytes moved =
+    # input read + output write + twiddle-plane reads. Still before any
+    # d2h (the axon-tunnel dispatch-degradation quirk).
+    roofline = _ntt_roofline(eng, iters=50 if on_tpu else 2)
+
     # Verify correctness: a broken fast path must not report throughput.
     errv = abs(eng.absmax_error(eng.decrode(out, sk), m1 * m2))
     assert errv < 1e-4, f"mult decryption error too large: {errv}"
@@ -85,7 +91,63 @@ def main():
         "value": round(mult_per_s, 4),
         "unit": "mult/s",
         "vs_baseline": round(mult_per_s / baseline_target, 4),
+        **roofline,
     }))
+
+
+# Peak HBM bandwidth per chip. v5e ("TPU v5 lite"): 819 GB/s.
+_HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v4": 1228.0, "TPU v5p": 2765.0,
+             "TPU v6 lite": 1640.0}
+
+
+def _ntt_roofline(eng, iters):
+    """Measure the fused forward NTT's achieved HBM bandwidth."""
+    import numpy as np
+    from liberate_tpu.ntt import ops
+
+    pack = eng.pack(0, -2)
+    C = int(pack.q2.shape[1])
+    N = eng.ctx.N
+    rng = np.random.default_rng(9)
+    qs = np.array(eng.ctx.q[:C] if C <= len(eng.ctx.q)
+                  else list(eng.ctx.q) + [eng.ctx.q[-1]] * (C - len(eng.ctx.q)),
+                  dtype=np.uint64)
+    a_int = (rng.integers(0, 2 ** 62, size=(C, N), dtype=np.uint64)
+             % qs[:, None]).astype(np.int64)
+    import jax.numpy as jnp
+    from liberate_tpu.ntt import u64 as u64m
+    a = jnp.asarray(u64m.from_int64_np(a_int))
+
+    f = jax.jit(lambda x: ops.ntt(x, pack))
+    out = f(a)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f(out)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+
+    # Bytes: data in + out, plus twiddle planes read once per transform.
+    data_bytes = 2 * (2 * C * N * 4)
+    tw_bytes = 0
+    if pack.pallas is not None:
+        p = pack.pallas
+        tw_bytes = sum(int(np.prod(x.shape)) * 4
+                       for x in (p.row_tw, p.lane_tw, p.consts))
+    elif pack.psi is not None:
+        tw_bytes = int(np.prod(pack.psi.shape)) * 4
+    gbps = (data_bytes + tw_bytes) / best / 1e9
+
+    dev_kind = jax.devices()[0].device_kind
+    peak = _HBM_GBPS.get(dev_kind)
+    out = {"ntt_gbps": round(gbps, 1),
+           "ntt_ms": round(best * 1e3, 4),
+           "ntt_shape": f"C{C}xN{N}"}
+    if peak:
+        out["ntt_roofline_pct"] = round(100.0 * gbps / peak, 1)
+    return out
 
 
 if __name__ == "__main__":

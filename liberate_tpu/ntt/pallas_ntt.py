@@ -385,6 +385,7 @@ def _call_lanes(kernel, a, consts, row_tw, lane_tw, interpret,
     n_row = row_tw.shape[2]
     n_lane = lane_tw.shape[2]
     av = a.reshape(2, B, C, R, LANES)
+    tile_r = min(tile_r, R)   # small-R (test) shapes: one tile
     nt = R // tile_r
 
     out = pl.pallas_call(
