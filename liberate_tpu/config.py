@@ -13,6 +13,17 @@ Resolution: ``use_pallas`` tristate; None (default) auto-detects TPU.
 
 import os
 
+# Mosaic allocates each Pallas kernel's live set on a scoped-VMEM stack
+# capped at 16 MiB by default; the platinum-width (logN=17, R=1024) NTT
+# row-stage kernels need ~17 MiB. Raise the cap to 64 MiB (v5e has 128 MiB
+# VMEM) — must be in the env before the TPU plugin snapshots it at first
+# compile, which importing liberate_tpu before any TPU use guarantees.
+if "xla_tpu_scoped_vmem_limit_kib" not in os.environ.get(
+        "LIBTPU_INIT_ARGS", ""):
+    os.environ["LIBTPU_INIT_ARGS"] = (
+        os.environ.get("LIBTPU_INIT_ARGS", "")
+        + " --xla_tpu_scoped_vmem_limit_kib=65536").strip()
+
 # None = auto (TPU -> pallas), True/False = forced.
 use_pallas = None
 

@@ -1081,8 +1081,61 @@ class CkksEngine:
         sk2 = sk._replace(data=sk2_data)
         return self.create_key_switching_key(sk2, sk)
 
+    def _mult_fused_fn(self, level: int):
+        """One jitted program for the whole ct-ct multiply: rescale x4 +
+        cc_mult + relin + key switch + rescale-add (reference's cc_mult ->
+        relinearize chain, ckks_engine.py:1072-1151). Collapsing the ~6
+        dispatches of the composed path into one program removes the
+        per-dispatch tunnel latency that dominates the v5e hot loop, and
+        gives XLA the whole dataflow to schedule."""
+        key = ("mult_fused", level)
+        if key in self._switcher_cache:
+            return self._switcher_cache[key]
+        switch = self._switcher_fn(level + 1, False)
+
+        def fn(a0, a1, b0, b1, ksk0s, ksk1s, rs, rh, pack_next, plans,
+               part_packs, pack_sp, PiRs, enter_ord, ident):
+            x0 = _rescale_core(a0, rs, rh, pack_next)
+            x1 = _rescale_core(a1, rs, rh, pack_next)
+            y0 = _rescale_core(b0, rs, rh, pack_next)
+            y1 = _rescale_core(b1, rs, rh, pack_next)
+            d0, d1, d2 = _cc_mult_core(x0, x1, y0, y1, pack_next)
+            d0, d1, d2 = _relin_pre(d0, d1, d2, pack_next)
+            s0, s1 = switch(d2, ksk0s, ksk1s, plans, part_packs,
+                            pack_sp, pack_next, PiRs, enter_ord, ident)
+            return _relin_post(d0, d1, s0, s1, pack_next)
+
+        jitted = jax.jit(fn)
+        self._switcher_cache[key] = jitted
+        return jitted
+
+    def _use_fused_mult(self) -> bool:
+        # One big program is a compile-size liability at platinum width
+        # (see pallas_ntt.CSLAB notes); the composed path serves there.
+        return self.ctx.logN <= 16
+
     def cc_mult(self, a: DataStruct, b: DataStruct, evk: DataStruct,
                 relin=True) -> DataStruct:
+        if relin and self._use_fused_mult():
+            level = a.level
+            nxt = level + 1
+            if nxt >= self.num_levels:
+                raise errors.MaximumLevelError(level=level,
+                                               level_max=self.num_levels)
+            parts = self.ntt.parts(nxt)
+            plans = tuple((p.Y_scalar, p.L_scalar, p.L_enter) for p in parts)
+            part_packs = tuple(p.pack for p in parts)
+            ksk0s = tuple(evk.data[p.part_id].data[0] for p in parts)
+            ksk1s = tuple(evk.data[p.part_id].data[1] for p in parts)
+            fn = self._mult_fused_fn(level)
+            c0, c1 = fn(a.data[0], a.data[1], b.data[0], b.data[1],
+                        ksk0s, ksk1s, self.rescale_scales[level],
+                        self.round_halves[level], self.pack(nxt, -1),
+                        plans, part_packs, self.pack(nxt, -2),
+                        tuple(self.PiRs[nxt]), self.enter_ord[nxt],
+                        self.mont_identity[nxt])
+            return DataStruct((c0, c1), False, False, False,
+                              types.origins["ct"], nxt, self.hash)
         x = self.rescale(a)
         y = self.rescale(b)
         level = x.level

@@ -229,21 +229,17 @@ class NttContext:
         is enabled (TPU) and the transform is large enough (logN >= 8)."""
         from .. import config
 
-        # logN 16 uses the split (row-chunk/lane-tiled) kernels, with
+        # logN >= 16 uses the split (row-chunk/lane-tiled) kernels, with
         # large-m row stages executed in the transposed domain and the
         # engine hot path all-unsigned (basis-extension outputs are
-        # canonicalized). At logN 17 (platinum) the kernels are
-        # individually bit-exact, but compiling the full-width engine
-        # pipelines crashes this environment's remote TPU compile helper
-        # non-deterministically (see pallas_ntt.CSLAB) — platinum uses the
-        # XLA path until that is resolved.
-        # GSPMD cannot partition pallas_call automatically: the sharded
-        # multi-chip path runs the XLA ops (pallas-under-shard_map is the
-        # planned follow-up), so packs built for a >1-chip layout carry no
-        # plan.
+        # canonicalized). Platinum (logN=17, R=1024) additionally needs
+        # the raised Mosaic scoped-VMEM cap that liberate_tpu.config sets
+        # via LIBTPU_INIT_ARGS: the round-1 "non-deterministic compile
+        # crash" was the row-stage kernels' ~17 MiB live set against the
+        # default 16 MiB scoped-vmem limit.
         if self.channel_quantum > 1 or self.mesh is not None:
             return None
-        if not config.pallas_enabled() or not (8 <= self.logN <= 16):
+        if not config.pallas_enabled() or not (8 <= self.logN <= 17):
             return None
         from . import pallas_ntt
 
