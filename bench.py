@@ -50,29 +50,38 @@ def main():
     pk = eng.create_public_key(sk)
     evk = eng.create_evk(sk)
 
-    m1 = eng.example(amin=-1, amax=1)
-    m2 = eng.example(amin=-1, amax=1)
-    ct1 = eng.encorypt(m1, pk)
-    ct2 = eng.encorypt(m2, pk)
+    n_ct = 8 if on_tpu else 2
+    msgs = [eng.example(amin=-1, amax=1) for _ in range(2 * n_ct)]
+    cts = [eng.encorypt(m, pk) for m in msgs]
 
-    # Warm up (jit compile).
-    out = eng.mult(ct1, ct2, evk)
-    jax.block_until_ready(out.data)
+    # Warm up (jit compile: mult and the accumulator add).
+    out = eng.mult(cts[0], cts[1], evk)
+    acc_w = eng.add(out, out)
+    jax.block_until_ready(acc_w.data)
 
-    # Timed trials FIRST, correctness check AFTER: a device->host transfer
-    # before the loop permanently degrades dispatch latency on the tunneled
-    # TPU runtime used in this environment (observed 3.4ms -> 80ms per mult
-    # after any np.asarray of a device buffer).
-    iters = 20 if on_tpu else 3
-    trials = 5 if on_tpu else 1
+    # CORRECTNESS-COUPLED timing: distinct input pairs, all products
+    # accumulated homomorphically into one ciphertext whose decryption is
+    # checked after the clock stops. This defeats any enqueue/replay
+    # shortcut in the device runtime - the measured wall time provably
+    # includes every multiply (a skipped one would corrupt the sum).
+    # Timing BEFORE any d2h: a device->host transfer permanently degrades
+    # dispatch latency on the tunneled TPU runtime used here.
+    iters = 32 if on_tpu else 3
+    trials = 3 if on_tpu else 1
     best = float("inf")
+    acc = None
     for _ in range(trials):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = eng.mult(ct1, ct2, evk)
-        jax.block_until_ready(out.data)
+        acc = None
+        for i in range(iters):
+            a, b = cts[(2 * i) % (2 * n_ct)], cts[(2 * i + 1) % (2 * n_ct)]
+            o = eng.mult(a, b, evk)
+            acc = o if acc is None else eng.add(acc, o)
+        jax.block_until_ready(acc.data)
         best = min(best, time.perf_counter() - t0)
 
+    # Conservatively attribute ALL the time (including the chained adds)
+    # to the multiplies.
     mult_per_s = iters / best
 
     # NTT roofline: GB/s of the fused forward NTT vs the chip's HBM
@@ -82,8 +91,10 @@ def main():
     roofline = _ntt_roofline(eng, iters=50 if on_tpu else 2)
 
     # Verify correctness: a broken fast path must not report throughput.
-    errv = abs(eng.absmax_error(eng.decrode(out, sk), m1 * m2))
-    assert errv < 1e-4, f"mult decryption error too large: {errv}"
+    want = sum(msgs[(2 * i) % (2 * n_ct)] * msgs[(2 * i + 1) % (2 * n_ct)]
+               for i in range(iters))
+    errv = abs(eng.absmax_error(eng.decrode(acc, sk), want))
+    assert errv < 1e-3, f"mult-sum decryption error too large: {errv}"
     # Generous single-A100 estimate; derivation documented in BASELINE.md.
     baseline_target = 1000.0  # mult/s
     print(json.dumps({
@@ -118,14 +129,14 @@ def _ntt_roofline(eng, iters):
     from liberate_tpu.ntt import u64 as u64m
     a = jnp.asarray(u64m.from_int64_np(a_int))
 
-    f = jax.jit(lambda x: ops.ntt(x, pack))
-    out = f(a)
+    f = jax.jit(lambda x, p: ops.ntt(x, p))
+    out = f(a, pack)
     jax.block_until_ready(out)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = f(out)
+            out = f(out, pack)
         jax.block_until_ready(out)
         best = min(best, (time.perf_counter() - t0) / iters)
 
