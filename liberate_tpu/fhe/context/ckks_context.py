@@ -141,10 +141,24 @@ class CkksContext:
         verbose=False,
         is_secured=True,
     ):
-        if buffer_bit_length != 62:
+        # The reference offers 62-bit (int64) and 30-bit (int32) buffer
+        # words (reference: ckks_context.py:154,213-216). Here the word
+        # selects the PRIME SIZING exactly like the reference (30 -> 28-bit
+        # message/special primes, scale_bits <= 26), while the compute
+        # radix stays R = 2^62: TPU vectors are 32-bit either way (the
+        # 62-bit core already runs on u32 limbs), so the reference's
+        # int32-for-speed trade has no TPU analogue — a dedicated
+        # single-limb kernel set is possible future work, but the mult
+        # pipeline is HBM-bound, and 30-bit channels carry the same
+        # bits/byte as 62-bit ones.
+        if buffer_bit_length not in (30, 62):
             raise ValueError(
-                "liberate_tpu supports the 62-bit buffer word "
-                "(64-bit arithmetic emulated with 32-bit limbs on TPU)."
+                "buffer_bit_length must be 62 or 30 (reference parity)."
+            )
+        if buffer_bit_length == 30 and scale_bits > 26:
+            raise ValueError(
+                "buffer_bit_length=30 requires scale_bits <= 26 "
+                "(scale primes must sit below the 28-bit message primes)."
             )
 
         cache_folder = cache.ensure_cache(cache_folder)
@@ -233,11 +247,15 @@ class CkksContext:
     # -- Montgomery constants (reference: ckks_context.py:294-315) ------------
 
     def generate_montgomery_parameters(self):
-        self.R = 2 ** self.buffer_bit_length
+        # Compute radix: fixed at 2^62 regardless of the buffer word (see
+        # __init__ — the word selects prime sizing, the kernels' limb REDC
+        # is 62-bit either way).
+        self.compute_radix_bits = 62
+        self.R = 2 ** self.compute_radix_bits
         self.R_square = [self.R ** 2 % qi for qi in self.q]
-        self.half_buffer_bit_length = self.buffer_bit_length // 2
+        self.half_buffer_bit_length = self.compute_radix_bits // 2
         self.lower_bits_mask = (1 << self.half_buffer_bit_length) - 1
-        self.full_bits_mask = (1 << self.buffer_bit_length) - 1
+        self.full_bits_mask = (1 << self.compute_radix_bits) - 1
 
         self.q_double = [qi << 1 for qi in self.q]
         self.R_inv = [pow(self.R, -1, qi) for qi in self.q]

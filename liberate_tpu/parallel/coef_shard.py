@@ -1,0 +1,207 @@
+"""Coefficient-axis sharded NTT/iNTT (prototype).
+
+The reference never shards the coefficient axis — each GPU runs whole
+per-channel NTTs (SURVEY 5 "long-context analogue": scaling N is handled
+by more stage launches per device, reference: ntt_cuda_kernel.cu:318-322).
+On TPU, sharding coefficients over the mesh is the design dimension that
+lets one transform outgrow a chip: with S shards, the first k = log2(S)
+Cooley-Tukey stages pair elements in DIFFERENT shards, and all remaining
+stages are shard-local.
+
+Key observations that make this cheap on ICI:
+
+1. A cross-shard stage s (< k) pairs shard i with shard i XOR 2^(k-1-s) —
+   a single jax.lax.ppermute exchange per stage.
+2. Within such a stage every element of a shard shares ONE twiddle:
+   shard i's block lies wholly inside one butterfly half-block, so the
+   twiddle is bank[2^s + (i >> (k-s))] — a per-(channel, shard) scalar.
+3. The remaining logN-k stages on a shard of length L = N/S are exactly a
+   length-L stage schedule whose twiddle indices are an affine function
+   of the shard index: global index 2^(k+sl) + i*2^sl + bl relabels to
+   local index 2^sl + bl in a per-shard REARRANGED bank. So the existing
+   XLA butterfly (ops.ntt/ops.intt_no_norm) runs unchanged inside
+   shard_map, fed a per-shard bank.
+
+Communication: k ppermutes of the local block each way — O(N/S * k)
+bytes over ICI; no all-to-all, no gather. Bit-exact vs the single-chip
+path (tests/test_coef_shard.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ntt import ops, u64
+
+__all__ = ["CoefShardPlan", "make_coef_plan", "ntt_coef_sharded",
+           "intt_coef_sharded"]
+
+
+class CoefShardPlan:
+    """Precomputed per-shard banks and cross-stage scalars for one mesh.
+
+    Arrays (packed uint32 [2, ...]):
+    - psi_l / ipsi_l: [2, C, N] per-shard-rearranged banks; shard i's
+      slice [..., i*L:(i+1)*L] is its local length-L bank.
+    - cross_f / cross_i: [2, k, C, S] per-stage per-shard twiddle scalars
+      (forward / inverse).
+    """
+
+    def __init__(self, mesh, axis, S, logN, pack, psi_l, ipsi_l,
+                 cross_f, cross_i):
+        self.mesh = mesh
+        self.axis = axis
+        self.S = S
+        self.logN = logN
+        self.pack = pack          # channel constants (psi dropped)
+        self.psi_l = psi_l
+        self.ipsi_l = ipsi_l
+        self.cross_f = cross_f
+        self.cross_i = cross_i
+
+
+def _rearranged_bank(bank: np.ndarray, S: int) -> np.ndarray:
+    """[2, C, N] global bank -> [2, C, S, L] per-shard local banks.
+
+    local[i][2^sl + bl] = global[2^sl * (2^k + i) + bl], bl in [0, 2^sl).
+    Entry 0 is unused by the stage schedule (stages address [2^s, 2^{s+1})).
+    """
+    _, C, N = bank.shape
+    L = N // S
+    k = S.bit_length() - 1
+    out = np.zeros((2, C, S, L), dtype=bank.dtype)
+    logL = L.bit_length() - 1
+    for i in range(S):
+        for sl in range(logL):
+            m = 1 << sl
+            bl = np.arange(m)
+            out[:, :, i, m + bl] = bank[:, :, m * ((1 << k) + i) + bl]
+    return out
+
+
+def _cross_scalars(bank: np.ndarray, S: int) -> np.ndarray:
+    """[2, C, N] bank -> [2, k, C, S]: stage-s scalar of shard i is
+    bank[2^s + (i >> (k - s))]."""
+    _, C, _ = bank.shape
+    k = S.bit_length() - 1
+    out = np.zeros((2, k, C, S), dtype=bank.dtype)
+    for s in range(k):
+        for i in range(S):
+            idx = (1 << s) + (i >> (k - s))
+            out[:, s, :, i] = bank[:, :, idx]
+    return out
+
+
+def make_coef_plan(ntt_ctx, mesh: Mesh, axis: str = "coef",
+                   level: int = 0, mult_type: int = -2) -> CoefShardPlan:
+    """Build a coefficient-sharding plan from an NttContext's master banks."""
+    S = int(np.prod([mesh.shape[a] for a in (axis,)]))
+    pack = ntt_ctx.level_pack(level, mult_type)
+    start, stop = ntt_ctx.channel_range(level, mult_type)
+    psi = ntt_ctx._psi_mont[:, start:stop]    # numpy [2, C, N]
+    ipsi = ntt_ctx._ipsi_mont[:, start:stop]
+    logN = ntt_ctx.logN
+
+    psi_l = _rearranged_bank(psi, S).reshape(2, stop - start, -1)
+    ipsi_l = _rearranged_bank(ipsi, S).reshape(2, stop - start, -1)
+
+    sh_coef = NamedSharding(mesh, P(None, None, axis))
+    return CoefShardPlan(
+        mesh, axis, S, logN,
+        pack._replace(psi=None, ipsi=None, pallas=None),
+        jax.device_put(psi_l, sh_coef),
+        jax.device_put(ipsi_l, sh_coef),
+        jnp.asarray(_cross_scalars(psi, S)),
+        jnp.asarray(_cross_scalars(ipsi, S)),
+    )
+
+
+def _xor_perm(S, d):
+    return [(j, j ^ d) for j in range(S)]
+
+
+def _cross_fwd(x, scal, pack, axis, S, s, k):
+    """One cross-shard Cooley-Tukey stage inside shard_map."""
+    d = 1 << (k - 1 - s)
+    i = jax.lax.axis_index(axis)
+    is_U = ((i & d) == 0)
+    other = jax.lax.ppermute(x, axis, _xor_perm(S, d))
+    U = jnp.where(is_U, x, other)
+    O = jnp.where(is_U, other, x)
+    V = ops.mont_enter_scalar(O, scal, pack)
+    q2 = (pack.q2[0][:, None], pack.q2[1][:, None])
+    even = _cs(u64.add((U[0], U[1]), (V[0], V[1])), q2)
+    odd = _cs(u64.sub(u64.add((U[0], U[1]), q2), (V[0], V[1])), q2)
+    lo = jnp.where(is_U, even[0], odd[0])
+    hi = jnp.where(is_U, even[1], odd[1])
+    return u64.pack(lo, hi)
+
+
+def _cross_inv(x, scal, pack, axis, S, s, k):
+    """One cross-shard Gentleman-Sande stage inside shard_map."""
+    d = 1 << (k - 1 - s)
+    i = jax.lax.axis_index(axis)
+    is_U = ((i & d) == 0)
+    other = jax.lax.ppermute(x, axis, _xor_perm(S, d))
+    U = jnp.where(is_U, x, other)
+    V = jnp.where(is_U, other, x)
+    q2 = (pack.q2[0][:, None], pack.q2[1][:, None])
+    s_add = _cs(u64.add((U[0], U[1]), (V[0], V[1])), q2)
+    diff = _cs(u64.sub(u64.add((U[0], U[1]), q2), (V[0], V[1])), q2)
+    W = ops.mont_enter_scalar(u64.pack(*diff), scal, pack)
+    lo = jnp.where(is_U, s_add[0], W[0])
+    hi = jnp.where(is_U, s_add[1], W[1])
+    return u64.pack(lo, hi)
+
+
+def _cs(v, q2):
+    over = ~u64.lt_signed(v, q2)
+    return u64.select(over, u64.sub(v, q2), v)
+
+
+def ntt_coef_sharded(a, plan: CoefShardPlan):
+    """Forward negacyclic NTT of [2, C, N] with N sharded over the mesh.
+
+    Bit-exact vs ops.ntt (natural order in, bit-reversed out)."""
+    S, k, axis = plan.S, plan.S.bit_length() - 1, plan.axis
+
+    def fn(x, psi_l, cross_f):
+        pack = plan.pack
+        for s in range(k):
+            scal = cross_f[:, s, :, 0]                   # [2, C] local block
+            x = _cross_fwd(x, scal, pack, axis, S, s, k)
+        local_pack = pack._replace(psi=psi_l, ipsi=psi_l)
+        return ops.ntt(x, local_pack)
+
+    shard = jax.shard_map(
+        fn, mesh=plan.mesh,
+        in_specs=(P(None, None, axis), P(None, None, axis),
+                  P(None, None, None, axis)),
+        out_specs=P(None, None, axis))
+    return shard(a, plan.psi_l, plan.cross_f)
+
+
+def intt_coef_sharded(a, plan: CoefShardPlan):
+    """Inverse NTT with N^{-1} normalization, coefficient-sharded."""
+    S, k, axis = plan.S, plan.S.bit_length() - 1, plan.axis
+
+    def fn(x, ipsi_l, cross_i):
+        pack = plan.pack
+        local_pack = pack._replace(psi=ipsi_l, ipsi=ipsi_l)
+        x = ops.intt_no_norm(x, local_pack)
+        for s in reversed(range(k)):
+            scal = cross_i[:, s, :, 0]
+            x = _cross_inv(x, scal, pack, axis, S, s, k)
+        b = pack.Ninv[:, :, None]
+        return u64.pack(*u64.montmul(
+            (x[0], x[1]), (b[0], b[1]),
+            pack.ql[:, None], pack.qh[:, None],
+            pack.kl[:, None], pack.kh[:, None]))
+
+    shard = jax.shard_map(
+        fn, mesh=plan.mesh,
+        in_specs=(P(None, None, axis), P(None, None, axis),
+                  P(None, None, None, axis)),
+        out_specs=P(None, None, axis))
+    return shard(a, plan.ipsi_l, plan.cross_i)

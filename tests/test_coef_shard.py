@@ -1,0 +1,72 @@
+"""Coefficient-axis sharded NTT prototype: bit-exact vs the single-chip path.
+
+VERDICT round-1 item #10 / SURVEY 7: sharding the COEFFICIENT axis (not
+just RNS channels) is the dimension that lets one transform span chips.
+Covers logN=13 over an 8-shard mesh (the VERDICT target shape) and a
+mixed case on 4 shards.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from liberate_tpu.fhe.context.ckks_context import CkksContext
+from liberate_tpu.ntt import ops, u64
+from liberate_tpu.ntt.ntt_context import NttContext
+from liberate_tpu.parallel import make_mesh
+from liberate_tpu.parallel.coef_shard import (
+    intt_coef_sharded,
+    make_coef_plan,
+    ntt_coef_sharded,
+)
+
+
+def _setup(logN, S):
+    ctx = CkksContext(logN=logN, scale_bits=30, num_scales=3,
+                      num_special_primes=2, is_secured=False)
+    nc = NttContext(ctx)
+    mesh = make_mesh(S, axis_name="coef")
+    plan = make_coef_plan(nc, mesh)
+    pack = nc.level_pack(0, -2)
+    C = nc.num_channels(0, -2)
+    rng = np.random.default_rng(logN * 100 + S)
+    qs = np.array(ctx.q, dtype=np.uint64)
+    a_int = (rng.integers(0, 2 ** 62, size=(C, ctx.N), dtype=np.uint64)
+             % qs[:, None]).astype(np.int64)
+    a = jnp.asarray(u64.from_int64_np(a_int))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    a_sharded = jax.device_put(a, NamedSharding(mesh, P(None, None, "coef")))
+    return pack, plan, a, a_sharded
+
+
+def _eq(x, y):
+    return np.array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("logN,S", [(13, 8), (10, 4)])
+def test_ntt_coef_sharded_bit_exact(logN, S):
+    pack, plan, a, a_sharded = _setup(logN, S)
+    want = ops.ntt(a, pack)
+    got = ntt_coef_sharded(a_sharded, plan)
+    assert _eq(got, want)
+
+
+@pytest.mark.parametrize("logN,S", [(13, 8), (10, 4)])
+def test_intt_coef_sharded_bit_exact(logN, S):
+    pack, plan, a, a_sharded = _setup(logN, S)
+    f = ops.ntt(a, pack)
+    want = ops.intt(f, pack)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    f_sharded = jax.device_put(
+        f, NamedSharding(plan.mesh, P(None, None, "coef")))
+    got = intt_coef_sharded(f_sharded, plan)
+    assert _eq(got, want)
+
+
+def test_roundtrip_sharded():
+    pack, plan, a, a_sharded = _setup(13, 8)
+    f = ntt_coef_sharded(a_sharded, plan)
+    b = intt_coef_sharded(f, plan)
+    assert _eq(ops.reduce_2q(jnp.asarray(np.asarray(b)), pack),
+               ops.reduce_2q(a, pack))

@@ -106,3 +106,26 @@ def test_var_and_std(eng, keys):
         eng.sqrt = orig_sqrt
     dec_s = eng.decrode(out, sk, is_real=True)
     assert abs(eng.absmax_error(dec_s, want_v)) < 1e-3
+
+
+def test_30bit_buffer_word_mode():
+    """Reference parity: buffer_bit_length=30 selects 28-bit message primes
+    and small scale primes (reference: ckks_context.py:154,213-216); the
+    scheme runs end-to-end."""
+    eng30 = liberate_tpu.CkksEngine(buffer_bit_length=30, logN=8,
+                                    scale_bits=24, num_scales=3,
+                                    num_special_primes=2, is_secured=False,
+                                    seed=5)
+    assert all(q < 2 ** 28 for q in eng30.ctx.q)
+    assert eng30.ctx.message_bits == 28
+    sk = eng30.create_secret_key()
+    pk = eng30.create_public_key(sk)
+    m = eng30.example(amin=-1, amax=1)
+    ct = eng30.encorypt(m, pk)
+    dec = eng30.decrode(ct, sk)
+    # scale 2^24: roundtrip error ~ 2^-24 * k
+    assert abs(eng30.absmax_error(dec, m)) < 1e-4
+
+    evk = eng30.create_evk(sk)
+    out = eng30.mult(ct, eng30.encorypt(m, pk), evk)
+    assert abs(eng30.absmax_error(eng30.decrode(out, sk), m * m)) < 1e-3

@@ -132,8 +132,10 @@ def test_import_host_data_onto_mesh():
             assert x.shape[-2] % 4 == 0
             assert len(x.sharding.device_set) == 4
 
-    # A mesh-aware engine with the same params can consume the import.
+    # A mesh-aware engine with the same params can consume the import
+    # (shard_datastruct pads uneven key widths to the engine's layout).
     eng4 = CkksEngine(mesh=mesh, **PARAMS_NONDIV)
     assert eng4.hash == eng1.hash
-    dec = eng4.decrode(ct_s, eng4._shard_ds(sk))
+    sk_s = shard_datastruct(sk, mesh)
+    dec = eng4.decrode(ct_s, sk_s)
     assert abs(eng4.absmax_error(dec, m)) < 1e-4
