@@ -85,6 +85,30 @@ def main():
     emit("silver_mult_relin_rescale",
          _bench(lambda: eng_s.mult(c1, c2, evk_s).data, iters))
 
+    # -- 2b. gold mult; platinum opt-in (first compile ~10 min, then
+    # persistently cached) --------------------------------------------------
+    if on_tpu:
+        eng_g = liberate_tpu.CkksEngine(seed=1, logN=16, scale_bits=40,
+                                        num_special_primes=4)
+        sk_g = eng_g.create_secret_key()
+        pk_g = eng_g.create_public_key(sk_g)
+        evk_g = eng_g.create_evk(sk_g)
+        g1 = eng_g.encorypt(eng_g.example(amin=-1, amax=1), pk_g)
+        g2 = eng_g.encorypt(eng_g.example(amin=-1, amax=1), pk_g)
+        emit("gold_mult_relin_rescale",
+             _bench(lambda: eng_g.mult(g1, g2, evk_g).data, iters))
+        if os.environ.get("LIBERATE_TPU_BENCH_PLATINUM"):
+            eng_p = liberate_tpu.CkksEngine(seed=1, logN=17, scale_bits=40,
+                                            num_special_primes=6,
+                                            is_secured=False)
+            sk_p = eng_p.create_secret_key()
+            pk_p = eng_p.create_public_key(sk_p)
+            evk_p = eng_p.create_evk(sk_p)
+            p1 = eng_p.encorypt(eng_p.example(amin=-1, amax=1), pk_p)
+            p2 = eng_p.encorypt(eng_p.example(amin=-1, amax=1), pk_p)
+            emit("platinum_mult_relin_rescale",
+                 _bench(lambda: eng_p.mult(p1, p2, evk_p).data, iters))
+
     # -- 5. multiparty: collective pk + threshold decrypt (3 parties) -------
     sks = [eng.create_secret_key() for _ in range(3)]
     pk0 = eng.multiparty_create_public_key(sks[0])

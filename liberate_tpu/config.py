@@ -30,6 +30,15 @@ use_pallas = None
 # Run Pallas kernels in interpreter mode (testing on CPU).
 pallas_interpret = False
 
+# Fused key-switch kernel (pallas_ntt.ntt_ksk_accum): ident-canon + NTT +
+# both ksk multiplies + part accumulation in one kernel. Bit-exact
+# (tests/test_fused_switch.py) but measured SLOWER than the composed path
+# on v5e (0.25 vs 0.17 ms/mult at silver): XLA already fuses the
+# pointwise chains around the batched NTT kernel, and the revisited
+# output block serializes the fused kernel's grid steps. Kept as an
+# option for future tuning / other chip generations.
+use_fused_switch = False
+
 
 def pallas_enabled() -> bool:
     if use_pallas is not None:

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..csprng import Csprng
-from ..ntt import ops, u64
+from ..ntt import ops, pallas_ntt, u64
 from ..ntt.ntt_context import NttContext, LevelPack
 from .context.ckks_context import CkksContext
 from .data_struct import DataStruct, data_struct
@@ -390,6 +390,8 @@ class CkksEngine:
         self.galois_deltas = [2 ** i for i in range(self.ctx.logN - 1)]
         self._switcher_cache = {}
         self._perm_device_cache = {}
+        import collections
+        self._ksk_stacked_cache = collections.OrderedDict()
 
         self.mult_dispatch = {
             (DataStruct, DataStruct): self.auto_cc_mult,
@@ -889,6 +891,27 @@ class CkksEngine:
         return self._shard_ds(DataStruct(ksk, True, True, True,
                                          types.origins["ksk"], 0, self.hash))
 
+    def _ksk_stacked(self, ksk: DataStruct):
+        """Pre-stacked full-width key halves [2, P_full, C0_sp, N] x 2.
+
+        Stacking once per key (instead of per switch inside the trace)
+        removes the largest per-switch HBM copy (~2x the ksk size). Small
+        LRU keyed by DataStruct identity: entries are device copies, so
+        the cache is bounded (16 keys) rather than per-(key, level)
+        unbounded like the round-1 slice cache."""
+        if ksk in self._ksk_stacked_cache:
+            self._ksk_stacked_cache.move_to_end(ksk)
+            return self._ksk_stacked_cache[ksk]
+        k0 = jnp.stack([part.data[0] for part in ksk.data], axis=1)
+        k1 = jnp.stack([part.data[1] for part in ksk.data], axis=1)
+        if self.mesh is not None:
+            k0 = jax.device_put(k0, self._rns_sharding(k0.ndim))
+            k1 = jax.device_put(k1, self._rns_sharding(k1.ndim))
+        self._ksk_stacked_cache[ksk] = (k0, k1)
+        if len(self._ksk_stacked_cache) > 16:
+            self._ksk_stacked_cache.popitem(last=False)
+        return self._ksk_stacked_cache[ksk]
+
     def _switcher_fn(self, level: int, exit_ntt: bool):
         """Build (and cache) the jitted key-switch core for one level.
 
@@ -983,38 +1006,56 @@ class CkksEngine:
             d = ops.mont_redc_signed(d[:, :W_ord], pack_ord)
             return ops.reduce_2q(d, pack_ord)
 
-        def fn(a, ksk0s, ksk1s, plans, part_packs, pack_sp, pack_ord, PiRs,
+        part_off = self.ntt.parts(level)[0].part_id
+
+        def fn(a, k0st, k1st, plans, part_packs, pack_sp, pack_ord, PiRs,
                enter_ord, ident_sp):
             # Batch every gadget part through ONE NTT and one pair of ksk
             # multiplies on a [2, P, C_sp, N] array — the TPU-native answer
             # to the reference's per-(device, part) kernel launches
             # (reference: ckks_engine.py:788-829): bigger fused ops, and a
             # single psum over the part axis when sharded.
-            # ksk halves arrive at their stored level-0 width; the level
-            # slice + padded-width fit is part of the trace (no eager
-            # uneven slicing of sharded key buffers).
-            ksk0s = tuple(ops.fit_channels(k[:, lvl:], W_sp) for k in ksk0s)
-            ksk1s = tuple(ops.fit_channels(k[:, lvl:], W_sp) for k in ksk1s)
+            # k0st/k1st are the PRE-STACKED full-width key halves
+            # [2, P_full, C0_sp, N] (see _ksk_stacked); the active-part
+            # suffix + level slice happen in-trace (or, on the fused
+            # Pallas path, via block indexing with zero copies).
             exts = []
             for idx, (start, alpha) in enumerate(parts_meta):
                 state = pre_extend(a, start, alpha, part_packs[idx],
                                    plans[idx])
                 exts.append(extend(state, plans[idx], pack_sp))
             ext = jnp.stack(exts, axis=1)                  # [2, P, C_sp, N]
-            # Canonicalize the wrapped-negative divided-difference sums to
-            # [0, 2q) (one montmul by the identity R): all the heavy NTT /
-            # pointwise kernels below then run the unsigned fast path.
-            ext = ops.canon_2q(
-                ops.mont_enter_scalar(ext, ident_sp, pack_sp, signed=True),
-                pack_sp)
-            ext = ops.ntt(ext, pack_sp)
-            t0 = ops.mont_mult(ext, jnp.stack(ksk0s, axis=1), pack_sp)
-            t1 = ops.mont_mult(ext, jnp.stack(ksk1s, axis=1), pack_sp)
-            d0 = t0[:, 0]
-            d1 = t1[:, 0]
-            for p in range(1, len(parts_meta)):
-                d0 = ops.mont_add(d0, t0[:, p], pack_sp)
-                d1 = ops.mont_add(d1, t1[:, p], pack_sp)
+
+            from .. import config
+            plan = pack_sp.pallas
+            if (config.use_fused_switch and plan is not None
+                    and pallas_ntt.supports_fused_accum(plan)):
+                # Fused kernel: ident-canon + NTT + both ksk multiplies +
+                # part accumulation, outputs resident in VMEM across the
+                # part loop (see config.use_fused_switch for why this is
+                # off by default on v5e).
+                d0, d1 = pallas_ntt.ntt_ksk_accum(
+                    ext, k0st, k1st, plan, ident_sp, lvl, part_off,
+                    interpret=config.pallas_interpret)
+            else:
+                # Canonicalize the wrapped-negative divided-difference
+                # sums to [0, 2q) (one montmul by the identity R): the
+                # heavy NTT / pointwise ops below then run the unsigned
+                # fast path.
+                ext = ops.canon_2q(
+                    ops.mont_enter_scalar(ext, ident_sp, pack_sp,
+                                          signed=True),
+                    pack_sp)
+                ext = ops.ntt(ext, pack_sp)
+                k0 = ops.fit_channels(k0st[:, part_off:, lvl:, :], W_sp)
+                k1 = ops.fit_channels(k1st[:, part_off:, lvl:, :], W_sp)
+                t0 = ops.mont_mult(ext, k0, pack_sp)
+                t1 = ops.mont_mult(ext, k1, pack_sp)
+                d0 = t0[:, 0]
+                d1 = t1[:, 0]
+                for p in range(1, len(parts_meta)):
+                    d0 = ops.mont_add(d0, t0[:, p], pack_sp)
+                    d1 = ops.mont_add(d1, t1[:, p], pack_sp)
             d0 = ops.intt_exit_reduce(d0, pack_sp)
             d1 = ops.intt_exit_reduce(d1, pack_sp)
             return (mod_down(d0, pack_sp, pack_ord, PiRs, enter_ord),
@@ -1031,13 +1072,9 @@ class CkksEngine:
         parts = self.ntt.parts(level)
         plans = tuple((p.Y_scalar, p.L_scalar, p.L_enter) for p in parts)
         part_packs = tuple(p.pack for p in parts)
-        # Full-width key halves; the jitted switcher slices them to the
-        # level inside the trace (the XLA executable fuses the slice — no
-        # per-(ksk, level) device copies to cache, no key-buffer retention).
-        ksk0s = tuple(ksk.data[p.part_id].data[0] for p in parts)
-        ksk1s = tuple(ksk.data[p.part_id].data[1] for p in parts)
+        k0st, k1st = self._ksk_stacked(ksk)
         fn = self._switcher_fn(level, exit_ntt)
-        return fn(a, ksk0s, ksk1s, plans, part_packs,
+        return fn(a, k0st, k1st, plans, part_packs,
                   self.pack(level, -2), self.pack(level, -1),
                   tuple(self.PiRs[level]), self.enter_ord[level],
                   self.mont_identity[level])
@@ -1093,7 +1130,7 @@ class CkksEngine:
             return self._switcher_cache[key]
         switch = self._switcher_fn(level + 1, False)
 
-        def fn(a0, a1, b0, b1, ksk0s, ksk1s, rs, rh, pack_next, plans,
+        def fn(a0, a1, b0, b1, k0st, k1st, rs, rh, pack_next, plans,
                part_packs, pack_sp, PiRs, enter_ord, ident):
             x0 = _rescale_core(a0, rs, rh, pack_next)
             x1 = _rescale_core(a1, rs, rh, pack_next)
@@ -1101,7 +1138,7 @@ class CkksEngine:
             y1 = _rescale_core(b1, rs, rh, pack_next)
             d0, d1, d2 = _cc_mult_core(x0, x1, y0, y1, pack_next)
             d0, d1, d2 = _relin_pre(d0, d1, d2, pack_next)
-            s0, s1 = switch(d2, ksk0s, ksk1s, plans, part_packs,
+            s0, s1 = switch(d2, k0st, k1st, plans, part_packs,
                             pack_sp, pack_next, PiRs, enter_ord, ident)
             return _relin_post(d0, d1, s0, s1, pack_next)
 
@@ -1125,11 +1162,10 @@ class CkksEngine:
             parts = self.ntt.parts(nxt)
             plans = tuple((p.Y_scalar, p.L_scalar, p.L_enter) for p in parts)
             part_packs = tuple(p.pack for p in parts)
-            ksk0s = tuple(evk.data[p.part_id].data[0] for p in parts)
-            ksk1s = tuple(evk.data[p.part_id].data[1] for p in parts)
+            k0st, k1st = self._ksk_stacked(evk)
             fn = self._mult_fused_fn(level)
             c0, c1 = fn(a.data[0], a.data[1], b.data[0], b.data[1],
-                        ksk0s, ksk1s, self.rescale_scales[level],
+                        k0st, k1st, self.rescale_scales[level],
                         self.round_halves[level], self.pack(nxt, -1),
                         plans, part_packs, self.pack(nxt, -2),
                         tuple(self.PiRs[nxt]), self.enter_ord[nxt],

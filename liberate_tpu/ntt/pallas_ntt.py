@@ -329,6 +329,127 @@ def _intt_kernel(cref, x_ref, rowtw_ref, lanetw_ref, o_ref, *,
     o_ref[1, 0, 0] = hi
 
 
+def _ntt_mulacc_kernel(cref, x_ref, rowtw_ref, lanetw_ref, k0_ref, k1_ref,
+                       o0_ref, o1_ref, *, logN, n_parts):
+    """Key-switch inner loop, fused: per (channel, part) block —
+    identity-montmul + canon of the (signed) basis-extension output, the
+    full forward NTT in VMEM, multiply by BOTH ksk halves, and accumulate
+    over the part axis into the two output blocks (which stay resident in
+    VMEM across the inner part loop).
+
+    Replaces the composed chain canon(montmul_ident) -> ntt -> mont_mult
+    x2 -> P-fold mont_add, whose intermediates each round-trip HBM
+    (reference equivalent: the per-(device, part) ksk multiplies and
+    accumulation, ckks_engine.py:788-840). Bit-exact: identical op order
+    per element.
+    """
+    ch = pl.program_id(0)
+    p = pl.program_id(1)
+    c = {
+        "ql": cref[0, ch], "qh": cref[1, ch], "kl": cref[2, ch],
+        "kh": cref[3, ch], "q2l": cref[4, ch], "q2h": cref[5, ch],
+    }
+    q2 = (c["q2l"], c["q2h"])
+    lo = x_ref[0, 0, 0]
+    hi = x_ref[1, 0, 0]
+
+    # canon_2q(montmul_signed(x, R mod q)): wrapped-negative divided
+    # differences -> [0, 2q) so the stages run the unsigned fast path
+    # (mirrors ops.canon_2q + mont_enter_scalar(ident, signed=True)).
+    S = (cref[6, ch], cref[7, ch])
+    lo, hi = u64.montmul_signed((lo, hi), S, c["ql"], c["qh"],
+                                c["kl"], c["kh"])
+    neg = hi.astype(jnp.int32) < 0
+    fl, fh = u64.add((lo, hi), q2)
+    lo = jnp.where(neg, fl, lo)
+    hi = jnp.where(neg, fh, hi)
+
+    lo, hi = _row_stages_fwd(lo, hi, rowtw_ref[0, 0], rowtw_ref[1, 0],
+                             c, logN, False)
+    lo, hi = _lane_stages_fwd(lo, hi, lanetw_ref[0, 0], lanetw_ref[1, 0],
+                              c, logN, False)
+
+    k0 = (k0_ref[0, 0, 0], k0_ref[1, 0, 0])
+    k1 = (k1_ref[0, 0, 0], k1_ref[1, 0, 0])
+    p0 = u64.montmul((lo, hi), k0, c["ql"], c["qh"], c["kl"], c["kh"])
+    p1 = u64.montmul((lo, hi), k1, c["ql"], c["qh"], c["kl"], c["kh"])
+
+    @pl.when(p == 0)
+    def _init():
+        o0_ref[0, 0] = p0[0]
+        o0_ref[1, 0] = p0[1]
+        o1_ref[0, 0] = p1[0]
+        o1_ref[1, 0] = p1[1]
+
+    @pl.when(p != 0)
+    def _accum():
+        a0 = _cond_sub(u64.add((o0_ref[0, 0], o0_ref[1, 0]), p0), q2)
+        o0_ref[0, 0] = a0[0]
+        o0_ref[1, 0] = a0[1]
+        a1 = _cond_sub(u64.add((o1_ref[0, 0], o1_ref[1, 0]), p1), q2)
+        o1_ref[0, 0] = a1[0]
+        o1_ref[1, 0] = a1[1]
+
+
+def supports_fused_accum(plan) -> bool:
+    """The fused switch kernel covers the single-kernel transform sizes
+    (R <= SPLIT_ROWS); the split path keeps the composed ops."""
+    return (1 << plan.logN) // LANES <= SPLIT_ROWS
+
+
+def ntt_ksk_accum(ext, k0_full, k1_full, plan, ident, level, part_off,
+                  interpret=False):
+    """Fused key-switch core. ext: [2, P, C, N] signed basis-extension
+    outputs at the level layout. k0_full/k1_full: [2, P_full, C0, N]
+    pre-stacked full-width ksk halves — the level slice (+``level``) and
+    the active-part suffix (+``part_off``) are taken via block indexing,
+    so no sliced copies are materialized. ident: packed [2, C] Montgomery
+    identity (R mod q). Returns (d0, d1): [2, C, N] accumulated over
+    parts, in the NTT+Montgomery domain, in [0, 2q).
+    """
+    _, P, C, N = ext.shape
+    R = N // LANES
+    consts = plan.consts.at[6].set(ident[0]).at[7].set(ident[1])
+    n_row = plan.row_tw.shape[2]
+    n_lane = plan.lane_tw.shape[2]
+    xv = ext.reshape(2, P, C, R, LANES)
+    k0v = k0_full.reshape(2, k0_full.shape[1], k0_full.shape[2], R, LANES)
+    k1v = k1_full.reshape(2, k1_full.shape[1], k1_full.shape[2], R, LANES)
+
+    kern = functools.partial(_ntt_mulacc_kernel, logN=plan.logN, n_parts=P)
+    out_shape = jax.ShapeDtypeStruct((2, C, R, LANES), ext.dtype)
+    o0, o1 = pl.pallas_call(
+        kern,
+        grid=(C, P),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, 1, 1, R, LANES),
+                         lambda ch, p: (0, p, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, n_row, 1, plan.row_tw.shape[4]),
+                         lambda ch, p: (0, ch, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, n_lane, R), lambda ch, p: (0, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, 1, R, LANES),
+                         lambda ch, p: (0, p + part_off, ch + level, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, 1, R, LANES),
+                         lambda ch, p: (0, p + part_off, ch + level, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, 1, R, LANES), lambda ch, p: (0, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, R, LANES), lambda ch, p: (0, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[out_shape, out_shape],
+        interpret=interpret,
+    )(consts, xv, plan.row_tw, plan.lane_tw, k0v, k1v)
+    return o0.reshape(2, C, N), o1.reshape(2, C, N)
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrappers.
 # ---------------------------------------------------------------------------
