@@ -25,6 +25,10 @@ import liberate_tpu  # noqa: E402
 
 
 def _bench(fn, iters, trials=3):
+    """Best-of-trials over independent repeated calls. NOTE: only valid
+    for host-bound or verified-elsewhere paths — the tunneled device
+    runtime can coalesce identical enqueues; device-bound metrics below
+    use _bench_chain / accumulate-and-verify instead."""
     out = fn()
     jax.block_until_ready(jax.tree_util.tree_leaves(out))
     best = float("inf")
@@ -35,6 +39,59 @@ def _bench(fn, iters, trials=3):
         jax.block_until_ready(jax.tree_util.tree_leaves(out))
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
+
+
+def _bench_chain(step, x0, iters, trials=3):
+    """Feed each output into the next call: the data dependency forces
+    every execution to really run (no enqueue/replay shortcut)."""
+    x = step(x0)
+    jax.block_until_ready(jax.tree_util.tree_leaves(x))
+    best = float("inf")
+    for _ in range(trials):
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            x = step(x)
+        jax.block_until_ready(jax.tree_util.tree_leaves(x))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+_DEFERRED_CHECKS = []
+
+
+def _bench_mult_verified(eng, cts, msgs, evk, sk, iters, tol=1e-3):
+    """Correctness-coupled mult throughput (see ../bench.py): distinct
+    pairs, homomorphic accumulation, decryption checked at suite end (a
+    mid-run d2h permanently degrades dispatch on the tunneled runtime).
+    Returns seconds/mult."""
+    n = len(cts)
+    out = eng.mult(cts[0], cts[1], evk)
+    warm = eng.add(out, out)
+    jax.block_until_ready(warm.data)
+    best = float("inf")
+    acc = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        acc = None
+        for i in range(iters):
+            o = eng.mult(cts[(2 * i) % n], cts[(2 * i + 1) % n], evk)
+            acc = o if acc is None else eng.add(acc, o)
+        jax.block_until_ready(acc.data)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    want = sum(msgs[(2 * i) % n] * msgs[(2 * i + 1) % n]
+               for i in range(iters))
+    _DEFERRED_CHECKS.append((eng, acc, want, sk, tol))
+    return best
+
+
+def _run_deferred_checks():
+    for eng, acc, want, sk, tol in _DEFERRED_CHECKS:
+        err = abs(eng.absmax_error(eng.decrode(acc, sk), want))
+        assert err < tol, f"verified mult bench failed: err {err}"
+    print(json.dumps({"metric": "verified_mult_benches",
+                      "value": len(_DEFERRED_CHECKS), "unit": "count"}),
+          flush=True)
 
 
 def emit(metric, seconds, unit="ms"):
@@ -69,9 +126,12 @@ def main():
 
     # -- 3. rotation chain on bronze (before any d2h!) ----------------------
     emit("bronze_rotate_1hop",
-         _bench(lambda: eng.rotate_single(ct, gk.data[0]).data, iters))
+         _bench_chain(lambda x: eng.rotate_single(x, gk.data[0]), ct, iters))
+    m_b1 = eng.example(amin=-1, amax=1)
+    m_b2 = eng.example(amin=-1, amax=1)
+    cts_b = [eng.encorypt(m_b1, pk), eng.encorypt(m_b2, pk)]
     emit("bronze_mult_relin_rescale",
-         _bench(lambda: eng.mult(ct, ct2, evk).data, iters))
+         _bench_mult_verified(eng, cts_b, [m_b1, m_b2], evk, sk, iters))
 
     # -- 2. silver mult (headline) ------------------------------------------
     eng_s = liberate_tpu.CkksEngine(seed=1, **silver)
@@ -83,7 +143,8 @@ def main():
     c1 = eng_s.encorypt(m1_s, pk_s)
     c2 = eng_s.encorypt(m2_s, pk_s)
     emit("silver_mult_relin_rescale",
-         _bench(lambda: eng_s.mult(c1, c2, evk_s).data, iters))
+         _bench_mult_verified(eng_s, [c1, c2], [m1_s, m2_s], evk_s, sk_s,
+                              iters))
 
     # -- 2b. gold mult; platinum opt-in (first compile ~10 min, then
     # persistently cached) --------------------------------------------------
@@ -93,10 +154,13 @@ def main():
         sk_g = eng_g.create_secret_key()
         pk_g = eng_g.create_public_key(sk_g)
         evk_g = eng_g.create_evk(sk_g)
-        g1 = eng_g.encorypt(eng_g.example(amin=-1, amax=1), pk_g)
-        g2 = eng_g.encorypt(eng_g.example(amin=-1, amax=1), pk_g)
+        mg1 = eng_g.example(amin=-1, amax=1)
+        mg2 = eng_g.example(amin=-1, amax=1)
+        g1 = eng_g.encorypt(mg1, pk_g)
+        g2 = eng_g.encorypt(mg2, pk_g)
         emit("gold_mult_relin_rescale",
-             _bench(lambda: eng_g.mult(g1, g2, evk_g).data, iters))
+             _bench_mult_verified(eng_g, [g1, g2], [mg1, mg2], evk_g, sk_g,
+                                  iters))
         if os.environ.get("LIBERATE_TPU_BENCH_PLATINUM"):
             eng_p = liberate_tpu.CkksEngine(seed=1, logN=17, scale_bits=40,
                                             num_special_primes=6,
@@ -104,10 +168,13 @@ def main():
             sk_p = eng_p.create_secret_key()
             pk_p = eng_p.create_public_key(sk_p)
             evk_p = eng_p.create_evk(sk_p)
-            p1 = eng_p.encorypt(eng_p.example(amin=-1, amax=1), pk_p)
-            p2 = eng_p.encorypt(eng_p.example(amin=-1, amax=1), pk_p)
+            mp1 = eng_p.example(amin=-1, amax=1)
+            mp2 = eng_p.example(amin=-1, amax=1)
+            p1 = eng_p.encorypt(mp1, pk_p)
+            p2 = eng_p.encorypt(mp2, pk_p)
             emit("platinum_mult_relin_rescale",
-                 _bench(lambda: eng_p.mult(p1, p2, evk_p).data, iters))
+                 _bench_mult_verified(eng_p, [p1, p2], [mp1, mp2], evk_p,
+                                      sk_p, iters))
 
     # -- 5. multiparty: collective pk + threshold decrypt (3 parties) -------
     sks = [eng.create_secret_key() for _ in range(3)]
@@ -152,8 +219,9 @@ def main():
                           "value": None,
                           "unit": "skipped (1 device)"}), flush=True)
 
-    # Correctness gates (after all timing: d2h degrades dispatch here).
+    # Correctness gates (after ALL timing: d2h degrades dispatch here).
     # A broken fast path must fail the suite, not report "verified".
+    _run_deferred_checks()
     dec = eng_s.decrode(eng_s.mult(c1, c2, evk_s), sk_s)
     err = abs(eng_s.absmax_error(dec, m1_s * m2_s))
     assert err < 1e-4, f"silver mult decryption error too large: {err}"

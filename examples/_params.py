@@ -5,6 +5,13 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
+# Honor JAX_PLATFORMS even when a sitecustomize imported jax before us
+# (jax.config reads the env var at import time, so set it via the config).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import liberate_tpu  # noqa: E402
 
 

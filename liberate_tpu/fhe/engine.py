@@ -1386,14 +1386,58 @@ class CkksEngine:
                          for d in ct.data)
         return ct._replace(data=new_data)
 
+    def _rotate_fused_fn(self, level: int):
+        """One jitted program for the whole rotation hop: signed
+        coefficient permutation of both ct halves + key switch + the
+        final add (reference: rotate_single -> switch_key,
+        ckks_engine.py:1180-1232). The permutation tables are runtime
+        arguments, so one program per level serves every delta and the
+        conjugation."""
+        key = ("rot_fused", level)
+        if key in self._switcher_cache:
+            return self._switcher_cache[key]
+        switch = self._switcher_fn(level, False)
+
+        def fn(d0, d1, gather, neg, k0st, k1st, plans, part_packs, pack_sp,
+               pack_ord, PiRs, enter_ord, ident):
+            r0 = _rotate_ct_core(d0, gather, neg, pack_ord)
+            r1 = _rotate_ct_core(d1, gather, neg, pack_ord)
+            s0, s1 = switch(r1, k0st, k1st, plans, part_packs,
+                            pack_sp, pack_ord, PiRs, enter_ord, ident)
+            c0 = ops.reduce_2q(ops.mont_add(r0, s0, pack_ord), pack_ord)
+            return c0, s1
+
+        jitted = jax.jit(fn)
+        self._switcher_cache[key] = jitted
+        return jitted
+
+    def _rotate_switch(self, ct: DataStruct, rotk: DataStruct,
+                       perm_key, perm_data) -> DataStruct:
+        level = ct.level
+        parts = self.ntt.parts(level)
+        plans = tuple((p.Y_scalar, p.L_scalar, p.L_enter) for p in parts)
+        part_packs = tuple(p.pack for p in parts)
+        k0st, k1st = self._ksk_stacked(rotk)
+        gather, neg = self._perm_on_device(perm_key, perm_data)
+        fn = self._rotate_fused_fn(level)
+        c0, c1 = fn(ct.data[0], ct.data[1], gather, neg, k0st, k1st,
+                    plans, part_packs, self.pack(level, -2),
+                    self.pack(level, -1), tuple(self.PiRs[level]),
+                    self.enter_ord[level], self.mont_identity[level])
+        return DataStruct((c0, c1), ct.include_special, ct.ntt_state,
+                          ct.montgomery_state, types.origins["ct"], level,
+                          self.hash)
+
     def rotate_single(self, ct: DataStruct, rotk: DataStruct) -> DataStruct:
         if types.origins["rotk"] not in rotk.origin:
             raise errors.NotMatchType(origin=rotk.origin,
                                       to=types.origins["rotk"])
         delta = int(rotk.origin.split(":")[-1])
         perm = encdec.rotate_perm_data(self.ctx.N, delta)
-        rotated = self._permute_ct(ct, ("rot", delta), perm)
-        return self.switch_key(rotated, rotk)
+        if ct.ntt_state or ct.montgomery_state:
+            rotated = self._permute_ct(ct, ("rot", delta), perm)
+            return self.switch_key(rotated, rotk)
+        return self._rotate_switch(ct, rotk, ("rot", delta), perm)
 
     def rotate_galois(self, ct: DataStruct, gk: DataStruct, delta: int,
                       return_circuit=False):
@@ -1413,8 +1457,10 @@ class CkksEngine:
 
     def conjugate(self, ct: DataStruct, conjk: DataStruct) -> DataStruct:
         perm = encdec.conjugate_perm_data(self.ctx.N)
-        conj = self._permute_ct(ct, ("conj",), perm)
-        return self.switch_key(conj, conjk)
+        if ct.ntt_state or ct.montgomery_state:
+            conj = self._permute_ct(ct, ("conj",), perm)
+            return self.switch_key(conj, conjk)
+        return self._rotate_switch(ct, conjk, ("conj",), perm)
 
     # -- high-level math (reference: ckks_engine.py:2301-2351, 2693-2724) ----------
 
