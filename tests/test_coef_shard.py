@@ -2,8 +2,10 @@
 
 VERDICT round-1 item #10 / SURVEY 7: sharding the COEFFICIENT axis (not
 just RNS channels) is the dimension that lets one transform span chips.
-Covers logN=13 over an 8-shard mesh (the VERDICT target shape) and a
-mixed case on 4 shards.
+Default CI shape is logN=10 on 4 and 8 shards (covers the cross-shard
+stage exchange on both mesh sizes); the VERDICT target shape logN=13 is
+kept under the slow marker (8-device GSPMD compiles at logN=13 take
+minutes on the CPU backend).
 """
 
 import numpy as np
@@ -21,8 +23,12 @@ from liberate_tpu.parallel.coef_shard import (
     ntt_coef_sharded,
 )
 
+_SETUPS = {}
+
 
 def _setup(logN, S):
+    if (logN, S) in _SETUPS:
+        return _SETUPS[(logN, S)]
     ctx = CkksContext(logN=logN, scale_bits=30, num_scales=3,
                       num_special_primes=2, is_secured=False)
     nc = NttContext(ctx)
@@ -37,14 +43,19 @@ def _setup(logN, S):
     a = jnp.asarray(u64.from_int64_np(a_int))
     from jax.sharding import NamedSharding, PartitionSpec as P
     a_sharded = jax.device_put(a, NamedSharding(mesh, P(None, None, "coef")))
-    return pack, plan, a, a_sharded
+    _SETUPS[(logN, S)] = (pack, plan, a, a_sharded)
+    return _SETUPS[(logN, S)]
 
 
 def _eq(x, y):
     return np.array_equal(np.asarray(x), np.asarray(y))
 
 
-@pytest.mark.parametrize("logN,S", [(13, 8), (10, 4)])
+_SHAPES = [(10, 8), (10, 4)]
+_SLOW_SHAPES = [(13, 8)]
+
+
+@pytest.mark.parametrize("logN,S", _SHAPES)
 def test_ntt_coef_sharded_bit_exact(logN, S):
     pack, plan, a, a_sharded = _setup(logN, S)
     want = ops.ntt(a, pack)
@@ -52,7 +63,7 @@ def test_ntt_coef_sharded_bit_exact(logN, S):
     assert _eq(got, want)
 
 
-@pytest.mark.parametrize("logN,S", [(13, 8), (10, 4)])
+@pytest.mark.parametrize("logN,S", _SHAPES)
 def test_intt_coef_sharded_bit_exact(logN, S):
     pack, plan, a, a_sharded = _setup(logN, S)
     f = ops.ntt(a, pack)
@@ -65,8 +76,21 @@ def test_intt_coef_sharded_bit_exact(logN, S):
 
 
 def test_roundtrip_sharded():
-    pack, plan, a, a_sharded = _setup(13, 8)
+    pack, plan, a, a_sharded = _setup(10, 8)
     f = ntt_coef_sharded(a_sharded, plan)
     b = intt_coef_sharded(f, plan)
     assert _eq(ops.reduce_2q(jnp.asarray(np.asarray(b)), pack),
                ops.reduce_2q(a, pack))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("logN,S", _SLOW_SHAPES)
+def test_coef_sharded_bit_exact_logN13(logN, S):
+    pack, plan, a, a_sharded = _setup(logN, S)
+    f_want = ops.ntt(a, pack)
+    f = ntt_coef_sharded(a_sharded, plan)
+    assert _eq(f, f_want)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    f_sharded = jax.device_put(
+        f_want, NamedSharding(plan.mesh, P(None, None, "coef")))
+    assert _eq(intt_coef_sharded(f_sharded, plan), ops.intt(f_want, pack))

@@ -20,18 +20,13 @@ MULT_TOL = 1e-5
 
 
 @pytest.fixture(scope="session")
-def eng():
-    return liberate_tpu.CkksEngine(
-        logN=LOGN, scale_bits=SCALE_BITS, num_scales=3,
-        num_special_primes=2, is_secured=False, seed=20260816)
+def eng(shared_eng):
+    return shared_eng
 
 
 @pytest.fixture(scope="session")
-def keys(eng):
-    sk = eng.create_secret_key()
-    pk = eng.create_public_key(sk)
-    evk = eng.create_evk(sk)
-    return sk, pk, evk
+def keys(shared_keys):
+    return shared_keys
 
 
 def err(eng, x, y):
@@ -48,7 +43,9 @@ def test_encrypt_decrypt_roundtrip(eng, keys):
 def test_encrypt_decrypt_at_levels(eng, keys):
     sk, pk, _ = keys
     m = eng.example(amin=-1, amax=1)
-    for level in range(eng.num_levels):
+    # First levels plus the deepest: covers the alternating-scale prime
+    # ends without tracing an encrypt program for every level in between.
+    for level in (0, 1, 2, eng.num_levels - 1):
         ct = eng.encorypt(m, pk, level=level)
         assert err(eng, eng.decrode(ct, sk), m) < ROUNDTRIP_TOL, level
 

@@ -12,18 +12,13 @@ import liberate_tpu
 
 
 @pytest.fixture(scope="module")
-def eng():
-    return liberate_tpu.CkksEngine(logN=8, scale_bits=30, num_scales=8,
-                                   num_special_primes=2, is_secured=False,
-                                   seed=42)
+def eng(shared_eng):
+    return shared_eng
 
 
 @pytest.fixture(scope="module")
-def keys(eng):
-    sk = eng.create_secret_key()
-    pk = eng.create_public_key(sk)
-    evk = eng.create_evk(sk)
-    return sk, pk, evk
+def keys(shared_keys):
+    return shared_keys
 
 
 def test_level_up(eng, keys):
