@@ -42,7 +42,7 @@ def main():
     else:
         # CPU smoke configuration: the emulated-u64 path is ~1000x slower
         # than a real chip; keep the benchmark runnable everywhere.
-        params = dict(logN=12, scale_bits=40, num_scales=6,
+        params = dict(logN=10, scale_bits=40, num_scales=4,
                       num_special_primes=2, is_secured=False)
 
     eng = CkksEngine(seed=1, **params)
@@ -50,44 +50,40 @@ def main():
     pk = eng.create_public_key(sk)
     evk = eng.create_evk(sk)
 
+    from liberate_tpu.utils import benchtime
+
     n_ct = 8 if on_tpu else 2
     msgs = [eng.example(amin=-1, amax=1) for _ in range(2 * n_ct)]
     cts = [eng.encorypt(m, pk) for m in msgs]
 
-    # Warm up (jit compile: mult and the accumulator add).
-    out = eng.mult(cts[0], cts[1], evk)
-    acc_w = eng.add(out, out)
-    jax.block_until_ready(acc_w.data)
+    # CORRECTNESS-COUPLED, EXECUTION-SYNCED timing (see
+    # liberate_tpu/utils/benchtime.py for the methodology and its
+    # validation): distinct input pairs, all products accumulated
+    # homomorphically into one ciphertext that is (a) fetched over d2h so
+    # the clock provably covers device execution, (b) decrypted and
+    # checked after timing, and (c) measured at two chain lengths whose
+    # difference cancels the fixed d2h/drain overhead.
+    last_acc = [None]
 
-    # CORRECTNESS-COUPLED timing: distinct input pairs, all products
-    # accumulated homomorphically into one ciphertext whose decryption is
-    # checked after the clock stops. This defeats any enqueue/replay
-    # shortcut in the device runtime - the measured wall time provably
-    # includes every multiply (a skipped one would corrupt the sum).
-    # Timing BEFORE any d2h: a device->host transfer permanently degrades
-    # dispatch latency on the tunneled TPU runtime used here.
-    iters = 32 if on_tpu else 3
-    trials = 3 if on_tpu else 1
-    best = float("inf")
-    acc = None
-    for _ in range(trials):
-        t0 = time.perf_counter()
+    def chain(K):
         acc = None
-        for i in range(iters):
+        for i in range(K):
             a, b = cts[(2 * i) % (2 * n_ct)], cts[(2 * i + 1) % (2 * n_ct)]
             o = eng.mult(a, b, evk)
             acc = o if acc is None else eng.add(acc, o)
-        jax.block_until_ready(acc.data)
-        best = min(best, time.perf_counter() - t0)
+        last_acc[0] = (acc, K)
+        return acc.data
 
-    # Conservatively attribute ALL the time (including the chained adds)
-    # to the multiplies.
-    mult_per_s = iters / best
+    benchtime.sync(chain(2))  # warm: compiles + switch to synced mode
+    k1, k2 = (8, 40) if on_tpu else (1, 2)
+    sec_per_mult = benchtime.diff_time(chain, k1, k2,
+                                       trials=3 if on_tpu else 1)
+    mult_per_s = 1.0 / sec_per_mult
+    acc, iters = last_acc[0]
 
     # NTT roofline: GB/s of the fused forward NTT vs the chip's HBM
     # bandwidth (BASELINE.md "memory-bound roofline" target). Bytes moved =
-    # input read + output write + twiddle-plane reads. Still before any
-    # d2h (the axon-tunnel dispatch-degradation quirk).
+    # input read + output write + twiddle-plane reads.
     roofline = _ntt_roofline(eng, iters=50 if on_tpu else 2)
 
     # Verify correctness: a broken fast path must not report throughput.
@@ -129,16 +125,18 @@ def _ntt_roofline(eng, iters):
     from liberate_tpu.ntt import u64 as u64m
     a = jnp.asarray(u64m.from_int64_np(a_int))
 
+    from liberate_tpu.utils import benchtime
+
     f = jax.jit(lambda x, p: ops.ntt(x, p))
-    out = f(a, pack)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = f(out, pack)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
+
+    def chain(K):
+        out = a
+        for _ in range(K):
+            out = f(out, pack)   # self-feeding: a real dependency chain
+        return out
+
+    benchtime.sync(chain(1))
+    best = benchtime.diff_time(chain, max(1, iters // 5), iters, trials=3)
 
     # Bytes: data in + out, plus twiddle planes read once per transform.
     data_bytes = 2 * (2 * C * N * 4)

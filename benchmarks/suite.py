@@ -24,37 +24,35 @@ import jax  # noqa: E402
 import liberate_tpu  # noqa: E402
 
 
+from liberate_tpu.utils import benchtime  # noqa: E402
+
+
 def _bench(fn, iters, trials=3):
-    """Best-of-trials over independent repeated calls. NOTE: only valid
-    for host-bound or verified-elsewhere paths — the tunneled device
-    runtime can coalesce identical enqueues; device-bound metrics below
-    use _bench_chain / accumulate-and-verify instead."""
-    out = fn()
-    jax.block_until_ready(jax.tree_util.tree_leaves(out))
-    best = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        for _ in range(iters):
+    """Seconds/call for independent repeated calls, synced by a d2h of
+    the final result and differenced over two loop lengths (see
+    liberate_tpu/utils/benchtime.py: block_until_ready does not wait for
+    execution on the tunneled runtime). Relies on in-order program
+    execution: the d2h on the last call's result drains the queue."""
+    def chain(K):
+        for _ in range(K):
             out = fn()
-        jax.block_until_ready(jax.tree_util.tree_leaves(out))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        return out
+    benchtime.sync(chain(1))
+    return benchtime.diff_time(chain, max(1, iters // 4), iters,
+                               trials=trials)
 
 
 def _bench_chain(step, x0, iters, trials=3):
-    """Feed each output into the next call: the data dependency forces
-    every execution to really run (no enqueue/replay shortcut)."""
-    x = step(x0)
-    jax.block_until_ready(jax.tree_util.tree_leaves(x))
-    best = float("inf")
-    for _ in range(trials):
+    """Seconds/step of a data-dependent chain (output feeds next input),
+    d2h-synced and length-differenced."""
+    def chain(K):
         x = x0
-        t0 = time.perf_counter()
-        for _ in range(iters):
+        for _ in range(K):
             x = step(x)
-        jax.block_until_ready(jax.tree_util.tree_leaves(x))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        return jax.tree_util.tree_leaves(x)
+    benchtime.sync(chain(1))
+    return benchtime.diff_time(chain, max(1, iters // 4), iters,
+                               trials=trials)
 
 
 _DEFERRED_CHECKS = []
@@ -62,26 +60,25 @@ _DEFERRED_CHECKS = []
 
 def _bench_mult_verified(eng, cts, msgs, evk, sk, iters, tol=1e-3):
     """Correctness-coupled mult throughput (see ../bench.py): distinct
-    pairs, homomorphic accumulation, decryption checked at suite end (a
-    mid-run d2h permanently degrades dispatch on the tunneled runtime).
-    Returns seconds/mult."""
+    pairs, homomorphic accumulation into one ciphertext whose d2h ends
+    the clock (so every multiply provably executed) and whose decryption
+    is checked at suite end. Returns seconds/mult."""
     n = len(cts)
-    out = eng.mult(cts[0], cts[1], evk)
-    warm = eng.add(out, out)
-    jax.block_until_ready(warm.data)
-    best = float("inf")
-    acc = None
-    for _ in range(2):
-        t0 = time.perf_counter()
+    state = {}
+
+    def chain(K):
         acc = None
-        for i in range(iters):
+        for i in range(K):
             o = eng.mult(cts[(2 * i) % n], cts[(2 * i + 1) % n], evk)
             acc = o if acc is None else eng.add(acc, o)
-        jax.block_until_ready(acc.data)
-        best = min(best, (time.perf_counter() - t0) / iters)
+        state["acc"], state["K"] = acc, K
+        return acc.data
+
+    benchtime.sync(chain(1))
+    best = benchtime.diff_time(chain, max(1, iters // 4), iters, trials=2)
     want = sum(msgs[(2 * i) % n] * msgs[(2 * i + 1) % n]
-               for i in range(iters))
-    _DEFERRED_CHECKS.append((eng, acc, want, sk, tol))
+               for i in range(state["K"]))
+    _DEFERRED_CHECKS.append((eng, state["acc"], want, sk, tol))
     return best
 
 
@@ -124,7 +121,7 @@ def main():
     ct = eng.encorypt(m, pk)
     ct2 = eng.encorypt(eng.example(amin=-1, amax=1), pk)
 
-    # -- 3. rotation chain on bronze (before any d2h!) ----------------------
+    # -- 3. rotation chain on bronze ----------------------------------------
     emit("bronze_rotate_1hop",
          _bench_chain(lambda x: eng.rotate_single(x, gk.data[0]), ct, iters))
     m_b1 = eng.example(amin=-1, amax=1)
@@ -219,7 +216,7 @@ def main():
                           "value": None,
                           "unit": "skipped (1 device)"}), flush=True)
 
-    # Correctness gates (after ALL timing: d2h degrades dispatch here).
+    # Correctness gates (after all timing).
     # A broken fast path must fail the suite, not report "verified".
     _run_deferred_checks()
     dec = eng_s.decrode(eng_s.mult(c1, c2, evk_s), sk_s)

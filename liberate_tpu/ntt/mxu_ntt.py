@@ -1,0 +1,328 @@
+"""MXU (systolic-array) negacyclic NTT: the transform as int8 matmuls.
+
+The direct butterfly NTT is VPU-bound on TPU: every butterfly is an
+emulated 62-bit Montgomery multiply (~60 vector int ops), and the VPU is
+the scarce resource in the whole CKKS pipeline. This module reformulates
+the transform so the O(N log N) multiply work becomes O(N sqrt N) int8
+MACs on the MXU (~394 TOPS on v5e vs ~2 T int-op/s on the VPU), leaving
+the VPU only one twiddle multiply and two digit recombinations per
+element. It is the TPU answer to the reference's per-stage butterfly
+kernels (reference: ntt_cuda_kernel.cu:237-342) — there is no CUDA
+counterpart; tensor-core NTT literature uses the same decomposition idea.
+
+Math (per RNS channel q, N = R*S, psi a primitive 2N-th root, W = psi^2):
+    data viewed as A[r, s] = a[s*R + r]
+    stage 1:  B[k2, r]   = sum_s M1[k2, s] * A[r, s]
+              M1[k2, s]  = W_S^{s k2} * psi^{R s}          (W_S = W^R)
+    twiddle:  B'[k2, r]  = B[k2, r] * psi^r W^{r k2}
+    stage 2:  X[k1*S+k2] = sum_r M2[k1, r] * B'[k2, r]     (W_R = W^S)
+              M2[k1, r]  = W_R^{r k1}
+giving X[k] = sum_n a[n] psi^n W^{nk} in NATURAL order — a fixed
+permutation of the classic bit-reversed-output butterfly NTT. Both
+transforms evaluate at the same point set, and the engine only ever uses
+the NTT domain pointwise (ct/ksk products, NTT-domain uniform sampling),
+so the backends are interchangeable as long as one engine instance uses
+one backend throughout (intt here inverts exactly this map).
+
+Exact integer matmuls over Z via base-256 digits (validated vs brute
+force and the golden model in tests/test_mxu.py):
+  * table side (host): fold the data-digit weights into the table,
+    M^(v) = M * 2^{8v} mod q, and decompose each M^(v) into dA=8
+    BALANCED digits in [-128, 127] (exact carry propagation; q < 2^61).
+  * data side (device): dB=8 unsigned base-256 digits, shipped as s8
+    via the -128 offset; the offset correction 128*rowsum(digits) is a
+    precomputed per-row constant.
+  * one einsum per stage contracts the merged (digit, position) axis:
+    E_u = sum_{v,pos} M_dig[u, v, out, pos] * B_dig[v, pos, col],
+    |E_u| <= dB * K * 128^2 + corrections < 2^28  (int32-exact).
+  * V = sum_u E_u 2^{8u} splits as V_lo + 2^40 V_hi with |V_lo| < 2^60,
+    |V_hi| < 2^52, and the result is two signed Montgomery multiplies:
+    V_lo * (R mod q) + V_hi * (2^40 R mod q)  ->  V mod q in [0, 2q).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import u64
+
+_DB = 8          # data digits (values < 2^63, base 256)
+_DA = 8          # balanced table digits (q < 2^61)
+_SPLIT = 5       # V_lo takes digit weights 2^0..2^32, V_hi the rest
+U32 = jnp.uint32
+
+
+class MxuPlan(NamedTuple):
+    """Per-channel matmul tables for one channel set (pytree)."""
+    R: int
+    S: int
+    # forward: stage-1 [C, dA, S, dB*S] s8, stage-2 [C, dA, R, dB*R] s8
+    m1: jnp.ndarray
+    m1_rs: jnp.ndarray       # [C, dA, S] int32 offset corrections
+    tw: jnp.ndarray          # [2, C, S, R] Montgomery-form twiddles
+    m2: jnp.ndarray
+    m2_rs: jnp.ndarray       # [C, dA, R] int32
+    # inverse: stage-1 contracts k1 (R), stage-2 contracts k2 (S)
+    i1: jnp.ndarray          # [C, dA, R, dB*R] s8
+    i1_rs: jnp.ndarray
+    itw: jnp.ndarray         # [2, C, S, R] (indexed [k2, j])
+    i2: jnp.ndarray          # [C, dA, S, dB*S] s8
+    i2_rs: jnp.ndarray
+    # reduction constants, Montgomery style: c_lo = R mod q, c_hi = 2^40 R mod q
+    c_lo: jnp.ndarray        # [2, C]
+    c_hi: jnp.ndarray        # [2, C]
+    ql: jnp.ndarray          # [C] u32 (replicated from the pack for
+    qh: jnp.ndarray          # self-contained kernel signatures)
+    kl: jnp.ndarray
+    kh: jnp.ndarray
+    q2: jnp.ndarray          # [2, C]
+
+
+def _balanced_digits_np(M, nd):
+    """uint64 array -> [nd, *M.shape] int8 balanced base-256 digits."""
+    out = np.zeros((nd,) + M.shape, dtype=np.int8)
+    x = M.astype(object)
+    for u in range(nd):
+        d = x & 0xFF
+        x = x >> 8
+        carry = d > 127
+        d = np.where(carry, d - 256, d)
+        x = x + carry
+        out[u] = d.astype(np.int64)
+    assert not np.any(x), "table entry too large for nd balanced digits"
+    return out
+
+
+def _decompose_table(M, q):
+    """M: [out, in] uint64 < q. Returns (digits s8 [dA, out, dB*in],
+    rowsum corrections i32 [dA, out])."""
+    O, I = M.shape
+    digs = np.zeros((_DA, O, _DB, I), dtype=np.int8)
+    for v in range(_DB):
+        Mv = ((M.astype(object) * pow(2, 8 * v, q)) % q).astype(np.uint64)
+        digs[:, :, v, :] = _balanced_digits_np(Mv, _DA)
+    rs = 128 * digs.astype(np.int64).sum(axis=(2, 3))
+    assert np.abs(rs).max() < 2 ** 31
+    return digs.reshape(_DA, O, _DB * I), rs.astype(np.int32)
+
+
+def _pow_table(base, q, n):
+    """[base^0, .., base^{n-1}] mod q as uint64."""
+    out = np.empty(n, dtype=np.uint64)
+    acc = 1
+    for i in range(n):
+        out[i] = acc
+        acc = acc * base % q
+    return out
+
+
+def make_plan(logN, q_list, R_list, psi_list, ipsi_list, Ninv_list):
+    """Host-side table build for one channel set.
+
+    q_list: channel moduli; R_list: Montgomery radix R mod q per channel
+    (R = 2^62); psi/ipsi: primitive 2N-th roots and inverses;
+    Ninv_list: N^{-1} mod q (plain). Reference analogue: the psi 'paint'
+    tables of ckks_context.py:89-142, re-derived as matmul factors.
+    """
+    N = 1 << logN
+    S = 1 << ((logN + 1) // 2)
+    R = N // S
+    C = len(q_list)
+
+    m1 = np.zeros((C, _DA, S, _DB * S), dtype=np.int8)
+    m1_rs = np.zeros((C, _DA, S), dtype=np.int32)
+    m2 = np.zeros((C, _DA, R, _DB * R), dtype=np.int8)
+    m2_rs = np.zeros((C, _DA, R), dtype=np.int32)
+    i1 = np.zeros((C, _DA, R, _DB * R), dtype=np.int8)
+    i1_rs = np.zeros((C, _DA, R), dtype=np.int32)
+    i2 = np.zeros((C, _DA, S, _DB * S), dtype=np.int8)
+    i2_rs = np.zeros((C, _DA, S), dtype=np.int32)
+    tw = np.zeros((C, S, R), dtype=np.uint64)
+    itw = np.zeros((C, S, R), dtype=np.uint64)
+    c_lo = np.zeros(C, dtype=np.uint64)
+    c_hi = np.zeros(C, dtype=np.uint64)
+
+    for c, (q, Rm, psi, ipsi, Ninv) in enumerate(
+            zip(q_list, R_list, psi_list, ipsi_list, Ninv_list)):
+        W = psi * psi % q
+        Wi = ipsi * ipsi % q
+        pw = _pow_table(W, q, N).astype(object)
+        pwi = _pow_table(Wi, q, N).astype(object)
+        ppsi = _pow_table(psi, q, 2 * N).astype(object)
+        pipsi = _pow_table(ipsi, q, 2 * N).astype(object)
+
+        k2v, sv = np.arange(S)[:, None], np.arange(S)[None, :]
+        k1v, rv = np.arange(R)[:, None], np.arange(R)[None, :]
+        # forward stage-1: M1[k2, s] = W^{R s k2} psi^{R s}
+        M1 = (pw[(sv * k2v * R) % N] * ppsi[(sv * R) % (2 * N)]) % q
+        m1[c], m1_rs[c] = _decompose_table(M1.astype(np.uint64), q)
+        # forward twiddle, [S(k2), R(r)] layout, Montgomery form
+        TW = (ppsi[np.arange(R)[None, :]] *
+              pw[(np.arange(R)[None, :] * np.arange(S)[:, None]) % N]
+              ) % q
+        tw[c] = ((TW * Rm) % q).astype(np.uint64)
+        # forward stage-2: M2[k1, r] = W^{S r k1}
+        M2 = pw[(rv * k1v * S) % N] % q
+        m2[c], m2_rs[c] = _decompose_table(M2.astype(np.uint64), q)
+
+        # inverse stage-1 (contract k1): I1[j, k1] = W^{-S j k1}
+        jv = np.arange(R)[:, None]
+        I1 = pwi[(jv * np.arange(R)[None, :] * S) % N] % q
+        i1[c], i1_rs[c] = _decompose_table(I1.astype(np.uint64), q)
+        # inverse twiddle [S(k2), R(j)]: psi^{-j} W^{-j k2}
+        ITW = (pipsi[np.arange(R)[None, :]] *
+               pwi[(np.arange(R)[None, :] * np.arange(S)[:, None]) % N]) % q
+        itw[c] = ((ITW * Rm) % q).astype(np.uint64)
+        # inverse stage-2 (contract k2): I2[s, k2] = W^{-R s k2} psi^{-R s} / N
+        srow, k2col = np.arange(S)[:, None], np.arange(S)[None, :]
+        I2 = (pwi[(srow * k2col * R) % N] * pipsi[(srow * R) % (2 * N)]
+              * Ninv) % q
+        i2[c], i2_rs[c] = _decompose_table(I2.astype(np.uint64), q)
+
+        c_lo[c] = Rm % q
+        c_hi[c] = (pow(2, 40, q) * Rm) % q
+
+    def _pk(x64):  # uint64 [..] -> packed [2, ..] u32
+        return jnp.asarray(u64.from_int64_np(
+            x64.astype(np.int64)))
+
+    return dict(R=R, S=S,
+                m1=jnp.asarray(m1), m1_rs=jnp.asarray(m1_rs),
+                tw=_pk(tw), m2=jnp.asarray(m2), m2_rs=jnp.asarray(m2_rs),
+                i1=jnp.asarray(i1), i1_rs=jnp.asarray(i1_rs),
+                itw=_pk(itw), i2=jnp.asarray(i2), i2_rs=jnp.asarray(i2_rs),
+                c_lo=_pk(c_lo), c_hi=_pk(c_hi))
+
+
+def plan_from_dict(d, ql, qh, kl, kh, q2):
+    return MxuPlan(ql=ql, qh=qh, kl=kl, kh=kh, q2=q2, **d)
+
+
+def _digits_s8(lo, hi):
+    """Packed u32 pair [.., C, X, Y] -> offset s8 digits [.., C, dB, X, Y].
+
+    Digit v<4 comes from lo, v>=4 from hi (the 32-bit limb split is
+    8-bit aligned). Offset by -128 so digits land in s8 exactly.
+    """
+    ds = []
+    for v in range(_DB):
+        w = lo if v < 4 else hi
+        sh = 8 * (v % 4)
+        d = ((w >> U32(sh)) & U32(0xFF)).astype(jnp.int32) - 128
+        ds.append(d.astype(jnp.int8))
+    return jnp.stack(ds, axis=-3)
+
+
+def _merge_zd(d):
+    """[.., C, dB, K, J] -> [.., C, dB*K, J] (matches table digit layout)."""
+    sh = d.shape
+    return d.reshape(sh[:-3] + (sh[-3] * sh[-2], sh[-1]))
+
+
+def _sext(e32):
+    """int32 -> packed signed u32 pair (two's-complement sign extension)."""
+    lo = e32.astype(jnp.uint32)
+    hi = (e32 >> 31).astype(jnp.uint32)
+    return lo, hi
+
+
+def _recombine(E, plan, extra_dims):
+    """E: int32 [.., C, dA, O, J] -> V mod q in [0, 2q), packed
+    [2, .., C, O, J]. Two signed Montgomery multiplies per element."""
+    lo_terms = [E[..., u, :, :] for u in range(_SPLIT)]
+    hi_terms = [E[..., u, :, :] for u in range(_SPLIT, _DA)]
+
+    def horner(terms):
+        v = _sext(terms[-1])
+        for t in terms[-2::-1]:
+            v = u64.add(u64.shl(v, 8), _sext(t))
+        return v
+
+    v_lo = horner(lo_terms)
+    v_hi = horner(hi_terms)
+    shape = (1,) * (extra_dims - 1) + (-1, 1, 1)
+    ql, qh, kl, kh = (plan.ql.reshape(shape), plan.qh.reshape(shape),
+                      plan.kl.reshape(shape), plan.kh.reshape(shape))
+
+    def bc(scalar):
+        s = scalar.reshape(scalar.shape[:1] + (1,) * (extra_dims - 1)
+                           + (scalar.shape[1], 1, 1))
+        return (s[0], s[1])
+
+    r_lo = u64.montmul_signed(v_lo, bc(plan.c_lo), ql, qh, kl, kh)
+    r_hi = u64.montmul_signed(v_hi, bc(plan.c_hi), ql, qh, kl, kh)
+    s = u64.add(r_lo, r_hi)                       # < 4q
+    q2 = bc(plan.q2)
+    over = ~u64.lt_unsigned(s, q2)
+    s = u64.select(over, u64.sub(s, q2), s)       # -> [0, 2q)
+    return s
+
+
+def _modmatmul(x_lo, x_hi, table, rs, plan, extra_dims):
+    """x: packed pair [.., C, K, J] (values < 2^63). table [C, dA, O, dB*K].
+    Returns packed [2?, .., C, O, J] pair via one s8 einsum."""
+    d = _merge_zd(_digits_s8(x_lo, x_hi))        # [.., C, dB*K, J]
+    E = jnp.einsum("cuoz,...czj->...cuoj", table, d,
+                   preferred_element_type=jnp.int32)
+    E = E + rs[..., None]                         # offset correction
+    return _recombine(E, plan, extra_dims)
+
+
+def _mont_tw(x, twp, plan, extra_dims):
+    """Pointwise Montgomery multiply by the twiddle plane [2, C, S, R]."""
+    shape = (1,) * (extra_dims - 1) + (-1, 1, 1)
+    ql, qh, kl, kh = (plan.ql.reshape(shape), plan.qh.reshape(shape),
+                      plan.kl.reshape(shape), plan.kh.reshape(shape))
+    ext = (1,) * (extra_dims - 1)
+    t = twp.reshape(twp.shape[:1] + ext + twp.shape[1:])
+    return u64.montmul(x, (t[0], t[1]), ql, qh, kl, kh)
+
+
+def ntt(a, plan: MxuPlan):
+    """Forward negacyclic NTT, natural-order output.
+
+    a: packed [2, .., C, N] in [0, 2^63) (lazy residues). Returns the
+    same shape in [0, 2q).
+    """
+    R, S = plan.R, plan.S
+    sh = a.shape                      # [2, .., C, N]
+    extra = a.ndim - 2                # dims before (C,): batch... + C
+    lo = a[0].reshape(sh[1:-1] + (S, R))
+    hi = a[1].reshape(sh[1:-1] + (S, R))
+    # stage 1: contract s -> B [.., C, S(k2), R(r)]
+    b = _modmatmul(lo, hi, plan.m1, plan.m1_rs, plan, extra)
+    # twiddle (tables already [S, R])
+    b = _mont_tw(b, plan.tw, plan, extra)
+    # stage 2: contract r -> need digits along r: [.., C, (v r), k2]
+    blo = jnp.swapaxes(b[0], -1, -2)  # [.., C, R(r), S(k2)]
+    bhi = jnp.swapaxes(b[1], -1, -2)
+    x = _modmatmul(blo, bhi, plan.m2, plan.m2_rs, plan, extra)
+    # x: [.., C, R(k1), S(k2)] -> N with k = k1*S + k2
+    return jnp.stack([x[0].reshape(sh[1:]), x[1].reshape(sh[1:])])
+
+
+def intt_no_norm_factor(a, plan: MxuPlan):
+    """Inverse transform (N^{-1} folded into the stage-2 table).
+
+    a: packed [2, .., C, N] natural-order NTT domain, values < 2^63.
+    Returns coefficients in [0, 2q), plain domain.
+    """
+    R, S = plan.R, plan.S
+    sh = a.shape
+    extra = a.ndim - 2
+    # X viewed [.., C, R(k1), S(k2)]; stage 1 contracts k1 (already the
+    # -2 axis): Y[j, k2] = sum_k1 I1[j, k1] X[k1, k2]
+    lo = a[0].reshape(sh[1:-1] + (R, S))
+    hi = a[1].reshape(sh[1:-1] + (R, S))
+    y = _modmatmul(lo, hi, plan.i1, plan.i1_rs, plan, extra)
+    # y: [.., C, R(j), S(k2)]; twiddle tables are [S(k2), R(j)] ->
+    # transpose y to match
+    y = (jnp.swapaxes(y[0], -1, -2), jnp.swapaxes(y[1], -1, -2))
+    y = _mont_tw(y, plan.itw, plan, extra)        # [.., C, S(k2), R(j)]
+    # stage 2 contracts k2 (already the -2 axis):
+    # a[s*R + j] = sum_k2 I2[s, k2] Y'[k2, j]
+    out = _modmatmul(y[0], y[1], plan.i2, plan.i2_rs, plan, extra)
+    # out: [.., C, S(s), R(j)] -> n = s*R + j
+    return jnp.stack([out[0].reshape(sh[1:]), out[1].reshape(sh[1:])])

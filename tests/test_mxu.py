@@ -1,0 +1,120 @@
+"""MXU (matmul) NTT backend: exactness vs brute force and the golden model.
+
+The MXU transform outputs natural order (a fixed permutation of the
+classic bit-reversed butterfly output); interchangeability is by
+pointwise-domain equivalence, so the tests check (1) forward == brute
+force evaluation, (2) roundtrip identity, (3) negacyclic convolution via
+the MXU domain == the golden composed result, canonically.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from liberate_tpu.fhe.context.ckks_context import CkksContext, primitive_root_2N
+from liberate_tpu.ntt import golden, mxu_ntt, u64
+from liberate_tpu.ntt.ntt_context import NttContext
+
+LOGN = 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ctx = CkksContext(logN=LOGN, scale_bits=30, num_scales=3,
+                      num_special_primes=2, is_secured=False)
+    nc = NttContext(ctx)
+    C = nc.num_channels(0, -2)
+    q_list = nc.q_ints(0, -2)
+    psis = [primitive_root_2N(q, ctx.N) for q in q_list]
+    ipsis = [pow(p, -1, q) for p, q in zip(psis, q_list)]
+    Rms = [pow(2, 62, q) for q in q_list]
+    Ninvs = [pow(ctx.N, -1, q) for q in q_list]
+    d = mxu_ntt.make_plan(LOGN, q_list, Rms, psis, ipsis, Ninvs)
+    pack = nc.level_pack(0, -2)
+    plan = mxu_ntt.plan_from_dict(d, pack.ql, pack.qh, pack.kl, pack.kh,
+                                  pack.q2)
+    rng = np.random.default_rng(5)
+    qs = np.array(q_list, dtype=np.uint64)
+    a_int = (rng.integers(0, 1 << 62, size=(C, ctx.N), dtype=np.uint64)
+             % qs[:, None]).astype(np.int64)
+    return ctx, nc, plan, q_list, psis, a_int
+
+
+def _canon(packed, q_list):
+    v = u64.to_int64_np(np.asarray(packed)).astype(np.uint64)
+    return v % np.array(q_list, dtype=np.uint64)[:, None]
+
+
+def test_forward_matches_bruteforce(setup):
+    ctx, nc, plan, q_list, psis, a_int = setup
+    a = jnp.asarray(u64.from_int64_np(a_int))
+    got = _canon(mxu_ntt.ntt(a, plan), q_list)
+    N = ctx.N
+    # brute force on two channels (one message-sized, one scale-sized)
+    for c in (0, len(q_list) - 1):
+        q, psi = q_list[c], psis[c]
+        W = psi * psi % q
+        av = [int(x) for x in a_int[c]]
+        k = np.arange(N)
+        for kk in (0, 1, 7, N - 1):
+            want = sum(av[n] * pow(psi, n, q) * pow(W, (n * kk) % N, q)
+                       for n in range(N)) % q
+            assert got[c, kk] == want, (c, kk)
+
+
+def test_roundtrip_identity(setup):
+    ctx, nc, plan, q_list, psis, a_int = setup
+    a = jnp.asarray(u64.from_int64_np(a_int))
+    back = mxu_ntt.intt_no_norm_factor(mxu_ntt.ntt(a, plan), plan)
+    assert np.array_equal(_canon(back, q_list), _canon(a, q_list))
+
+
+def test_batched_shapes(setup):
+    ctx, nc, plan, q_list, psis, a_int = setup
+    a = jnp.asarray(u64.from_int64_np(a_int))
+    ab = jnp.stack([a, a], axis=1)        # [2, B=2, C, N]
+    f = mxu_ntt.ntt(ab, plan)
+    assert f.shape == ab.shape
+    single = mxu_ntt.ntt(a, plan)
+    assert np.array_equal(np.asarray(f[:, 0]), np.asarray(single))
+    assert np.array_equal(np.asarray(f[:, 1]), np.asarray(single))
+
+
+def test_negacyclic_convolution_matches_golden(setup):
+    ctx, nc, plan, q_list, psis, a_int = setup
+    C, N = a_int.shape
+    rng = np.random.default_rng(6)
+    qs = np.array(q_list, dtype=np.uint64)
+    b_int = (rng.integers(0, 1 << 62, size=(C, N), dtype=np.uint64)
+             % qs[:, None]).astype(np.int64)
+
+    # golden composed path: aR = mont_enter(a); c = intt(mont_mult(ntt(aR),
+    # ntt(b))) gives the negacyclic product a*b (R factors cancel).
+    pk = nc.level_pack(0, -2)
+    ql = np.asarray(pk.ql).astype(np.int64)[:, None]
+    qh = np.asarray(pk.qh).astype(np.int64)[:, None]
+    kl = np.asarray(pk.kl).astype(np.int64)[:, None]
+    kh = np.asarray(pk.kh).astype(np.int64)[:, None]
+    q2 = u64.to_int64_np(np.asarray(pk.q2))[:, None]
+    Rs = u64.to_int64_np(np.asarray(pk.Rs))[:, None]
+    Ninv = u64.to_int64_np(np.asarray(pk.Ninv))[:, None]
+    psi_m = u64.to_int64_np(np.asarray(pk.psi))
+    ipsi_m = u64.to_int64_np(np.asarray(pk.ipsi))
+
+    aR = golden.mont_mult(a_int, Rs, ql, qh, kl, kh)
+    fa = golden.ntt(aR, psi_m, q2, ql, qh, kl, kh)
+    fb = golden.ntt(b_int, psi_m, q2, ql, qh, kl, kh)
+    prod = golden.mont_mult(fa, fb, ql, qh, kl, kh)
+    want = golden.intt(prod, ipsi_m, Ninv, q2, ql, qh, kl, kh)
+    want = _canon(u64.from_int64_np(want), q_list)
+
+    # MXU path, same Montgomery choreography
+    a_p = jnp.asarray(u64.from_int64_np(
+        golden.mont_mult(a_int, Rs, ql, qh, kl, kh)))
+    b_p = jnp.asarray(u64.from_int64_np(b_int))
+    fa_m = mxu_ntt.ntt(a_p, plan)
+    fb_m = mxu_ntt.ntt(b_p, plan)
+    from liberate_tpu.ntt import ops
+    prod_m = ops.mont_mult(fa_m, fb_m, pk)
+    got = _canon(mxu_ntt.intt_no_norm_factor(prod_m, plan), q_list)
+    assert np.array_equal(got, want)
