@@ -30,6 +30,12 @@ if "JAX_PLATFORMS" not in os.environ:
 
 import jax  # noqa: E402
 
+# The env var alone can be read too early (sitecustomize imports jax at
+# interpreter start); pin the platform explicitly so a CPU run can never
+# touch the TPU tunnel.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from liberate_tpu.fhe.engine import CkksEngine  # noqa: E402
