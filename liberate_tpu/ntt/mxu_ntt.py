@@ -40,7 +40,8 @@ force and the golden model in tests/test_mxu.py):
     V_lo * (R mod q) + V_hi * (2^40 R mod q)  ->  V mod q in [0, 2q).
 """
 
-from typing import NamedTuple
+import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -48,16 +49,31 @@ import numpy as np
 
 from . import u64
 
-_DB = 8          # data digits (values < 2^63, base 256)
-_DA = 8          # balanced table digits (q < 2^61)
-_SPLIT = 5       # V_lo takes digit weights 2^0..2^32, V_hi the rest
 U32 = jnp.uint32
 
+_ARRAY_FIELDS = ("m1", "m1_rs", "tw", "m2", "m2_rs",
+                 "i1", "i1_rs", "itw", "i2", "i2_rs",
+                 "c_lo", "c_hi", "ql", "qh", "kl", "kh", "q2")
 
-class MxuPlan(NamedTuple):
-    """Per-channel matmul tables for one channel set (pytree)."""
+
+@dataclasses.dataclass(frozen=True)
+class MxuPlan:
+    """Per-channel matmul tables for one channel set.
+
+    Registered as a pytree with the shape parameters static (like
+    pallas_ntt.PallasPlan), so plans pass through jit as arguments and
+    the digit loops unroll at trace time.
+    dA: balanced table digits (ceil(qbits / 8));
+    dB: data digits (ceil((word_bits + 1) / 8));
+    split: V_lo takes digit weights 2^0..2^{8(split-1)}, V_hi the rest
+    (empty when dA <= split: 30-bit mode needs one Montgomery multiply
+    per element instead of two).
+    """
     R: int
     S: int
+    dA: int
+    dB: int
+    split: int
     # forward: stage-1 [C, dA, S, dB*S] s8, stage-2 [C, dA, R, dB*R] s8
     m1: jnp.ndarray
     m1_rs: jnp.ndarray       # [C, dA, S] int32 offset corrections
@@ -70,7 +86,8 @@ class MxuPlan(NamedTuple):
     itw: jnp.ndarray         # [2, C, S, R] (indexed [k2, j])
     i2: jnp.ndarray          # [C, dA, S, dB*S] s8
     i2_rs: jnp.ndarray
-    # reduction constants, Montgomery style: c_lo = R mod q, c_hi = 2^40 R mod q
+    # reduction constants, Montgomery style:
+    # c_lo = R mod q, c_hi = 2^{8*split} R mod q
     c_lo: jnp.ndarray        # [2, C]
     c_hi: jnp.ndarray        # [2, C]
     ql: jnp.ndarray          # [C] u32 (replicated from the pack for
@@ -78,6 +95,19 @@ class MxuPlan(NamedTuple):
     kl: jnp.ndarray
     kh: jnp.ndarray
     q2: jnp.ndarray          # [2, C]
+
+    def tree_flatten(self):
+        return (tuple(getattr(self, f) for f in _ARRAY_FIELDS),
+                (self.R, self.S, self.dA, self.dB, self.split))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        R, S, dA, dB, split = aux
+        return cls(R, S, dA, dB, split, *children)
+
+
+jax.tree_util.register_pytree_node(
+    MxuPlan, lambda p: p.tree_flatten(), MxuPlan.tree_unflatten)
 
 
 def _balanced_digits_np(M, nd):
@@ -95,17 +125,17 @@ def _balanced_digits_np(M, nd):
     return out
 
 
-def _decompose_table(M, q):
+def _decompose_table(M, q, dA, dB):
     """M: [out, in] uint64 < q. Returns (digits s8 [dA, out, dB*in],
     rowsum corrections i32 [dA, out])."""
     O, I = M.shape
-    digs = np.zeros((_DA, O, _DB, I), dtype=np.int8)
-    for v in range(_DB):
+    digs = np.zeros((dA, O, dB, I), dtype=np.int8)
+    for v in range(dB):
         Mv = ((M.astype(object) * pow(2, 8 * v, q)) % q).astype(np.uint64)
-        digs[:, :, v, :] = _balanced_digits_np(Mv, _DA)
+        digs[:, :, v, :] = _balanced_digits_np(Mv, dA)
     rs = 128 * digs.astype(np.int64).sum(axis=(2, 3))
     assert np.abs(rs).max() < 2 ** 31
-    return digs.reshape(_DA, O, _DB * I), rs.astype(np.int32)
+    return digs.reshape(dA, O, dB * I), rs.astype(np.int32)
 
 
 def _pow_table(base, q, n):
@@ -118,27 +148,43 @@ def _pow_table(base, q, n):
     return out
 
 
-def make_plan(logN, q_list, R_list, psi_list, ipsi_list, Ninv_list):
+def digit_params(word_bits):
+    """(dA, dB, split) for a buffer word size.
+
+    dB covers data values < 2^{word_bits+1} (lazy [0, 2q) residues);
+    dA covers table entries < q < 2^{word_bits-1}; split keeps
+    |V_lo| < 2^62 (|E_u| < 2^28, so weights up to 2^{8*(split-1)} with
+    8*(split-1) + 28 < 62).
+    """
+    dB = -(-(word_bits + 1) // 8)
+    dA = -(-(word_bits - 1) // 8)
+    split = min(dA, 5)
+    return dA, dB, split
+
+
+def make_plan(logN, q_list, R_list, psi_list, ipsi_list, Ninv_list,
+              word_bits=62):
     """Host-side table build for one channel set.
 
     q_list: channel moduli; R_list: Montgomery radix R mod q per channel
-    (R = 2^62); psi/ipsi: primitive 2N-th roots and inverses;
+    (R = 2^word_bits); psi/ipsi: primitive 2N-th roots and inverses;
     Ninv_list: N^{-1} mod q (plain). Reference analogue: the psi 'paint'
     tables of ckks_context.py:89-142, re-derived as matmul factors.
     """
+    dA, dB, split = digit_params(word_bits)
     N = 1 << logN
     S = 1 << ((logN + 1) // 2)
     R = N // S
     C = len(q_list)
 
-    m1 = np.zeros((C, _DA, S, _DB * S), dtype=np.int8)
-    m1_rs = np.zeros((C, _DA, S), dtype=np.int32)
-    m2 = np.zeros((C, _DA, R, _DB * R), dtype=np.int8)
-    m2_rs = np.zeros((C, _DA, R), dtype=np.int32)
-    i1 = np.zeros((C, _DA, R, _DB * R), dtype=np.int8)
-    i1_rs = np.zeros((C, _DA, R), dtype=np.int32)
-    i2 = np.zeros((C, _DA, S, _DB * S), dtype=np.int8)
-    i2_rs = np.zeros((C, _DA, S), dtype=np.int32)
+    m1 = np.zeros((C, dA, S, dB * S), dtype=np.int8)
+    m1_rs = np.zeros((C, dA, S), dtype=np.int32)
+    m2 = np.zeros((C, dA, R, dB * R), dtype=np.int8)
+    m2_rs = np.zeros((C, dA, R), dtype=np.int32)
+    i1 = np.zeros((C, dA, R, dB * R), dtype=np.int8)
+    i1_rs = np.zeros((C, dA, R), dtype=np.int32)
+    i2 = np.zeros((C, dA, S, dB * S), dtype=np.int8)
+    i2_rs = np.zeros((C, dA, S), dtype=np.int32)
     tw = np.zeros((C, S, R), dtype=np.uint64)
     itw = np.zeros((C, S, R), dtype=np.uint64)
     c_lo = np.zeros(C, dtype=np.uint64)
@@ -157,7 +203,7 @@ def make_plan(logN, q_list, R_list, psi_list, ipsi_list, Ninv_list):
         k1v, rv = np.arange(R)[:, None], np.arange(R)[None, :]
         # forward stage-1: M1[k2, s] = W^{R s k2} psi^{R s}
         M1 = (pw[(sv * k2v * R) % N] * ppsi[(sv * R) % (2 * N)]) % q
-        m1[c], m1_rs[c] = _decompose_table(M1.astype(np.uint64), q)
+        m1[c], m1_rs[c] = _decompose_table(M1.astype(np.uint64), q, dA, dB)
         # forward twiddle, [S(k2), R(r)] layout, Montgomery form
         TW = (ppsi[np.arange(R)[None, :]] *
               pw[(np.arange(R)[None, :] * np.arange(S)[:, None]) % N]
@@ -165,12 +211,12 @@ def make_plan(logN, q_list, R_list, psi_list, ipsi_list, Ninv_list):
         tw[c] = ((TW * Rm) % q).astype(np.uint64)
         # forward stage-2: M2[k1, r] = W^{S r k1}
         M2 = pw[(rv * k1v * S) % N] % q
-        m2[c], m2_rs[c] = _decompose_table(M2.astype(np.uint64), q)
+        m2[c], m2_rs[c] = _decompose_table(M2.astype(np.uint64), q, dA, dB)
 
         # inverse stage-1 (contract k1): I1[j, k1] = W^{-S j k1}
         jv = np.arange(R)[:, None]
         I1 = pwi[(jv * np.arange(R)[None, :] * S) % N] % q
-        i1[c], i1_rs[c] = _decompose_table(I1.astype(np.uint64), q)
+        i1[c], i1_rs[c] = _decompose_table(I1.astype(np.uint64), q, dA, dB)
         # inverse twiddle [S(k2), R(j)]: psi^{-j} W^{-j k2}
         ITW = (pipsi[np.arange(R)[None, :]] *
                pwi[(np.arange(R)[None, :] * np.arange(S)[:, None]) % N]) % q
@@ -179,16 +225,16 @@ def make_plan(logN, q_list, R_list, psi_list, ipsi_list, Ninv_list):
         srow, k2col = np.arange(S)[:, None], np.arange(S)[None, :]
         I2 = (pwi[(srow * k2col * R) % N] * pipsi[(srow * R) % (2 * N)]
               * Ninv) % q
-        i2[c], i2_rs[c] = _decompose_table(I2.astype(np.uint64), q)
+        i2[c], i2_rs[c] = _decompose_table(I2.astype(np.uint64), q, dA, dB)
 
         c_lo[c] = Rm % q
-        c_hi[c] = (pow(2, 40, q) * Rm) % q
+        c_hi[c] = (pow(2, 8 * split, q) * Rm) % q
 
     def _pk(x64):  # uint64 [..] -> packed [2, ..] u32
         return jnp.asarray(u64.from_int64_np(
             x64.astype(np.int64)))
 
-    return dict(R=R, S=S,
+    return dict(R=R, S=S, dA=dA, dB=dB, split=split,
                 m1=jnp.asarray(m1), m1_rs=jnp.asarray(m1_rs),
                 tw=_pk(tw), m2=jnp.asarray(m2), m2_rs=jnp.asarray(m2_rs),
                 i1=jnp.asarray(i1), i1_rs=jnp.asarray(i1_rs),
@@ -200,14 +246,14 @@ def plan_from_dict(d, ql, qh, kl, kh, q2):
     return MxuPlan(ql=ql, qh=qh, kl=kl, kh=kh, q2=q2, **d)
 
 
-def _digits_s8(lo, hi):
+def _digits_s8(lo, hi, dB):
     """Packed u32 pair [.., C, X, Y] -> offset s8 digits [.., C, dB, X, Y].
 
     Digit v<4 comes from lo, v>=4 from hi (the 32-bit limb split is
     8-bit aligned). Offset by -128 so digits land in s8 exactly.
     """
     ds = []
-    for v in range(_DB):
+    for v in range(dB):
         w = lo if v < 4 else hi
         sh = 8 * (v % 4)
         d = ((w >> U32(sh)) & U32(0xFF)).astype(jnp.int32) - 128
@@ -230,9 +276,10 @@ def _sext(e32):
 
 def _recombine(E, plan, extra_dims):
     """E: int32 [.., C, dA, O, J] -> V mod q in [0, 2q), packed
-    [2, .., C, O, J]. Two signed Montgomery multiplies per element."""
-    lo_terms = [E[..., u, :, :] for u in range(_SPLIT)]
-    hi_terms = [E[..., u, :, :] for u in range(_SPLIT, _DA)]
+    [2, .., C, O, J]. Two signed Montgomery multiplies per element (one
+    when dA <= split, e.g. the 30-bit word mode)."""
+    lo_terms = [E[..., u, :, :] for u in range(min(plan.split, plan.dA))]
+    hi_terms = [E[..., u, :, :] for u in range(plan.split, plan.dA)]
 
     def horner(terms):
         v = _sext(terms[-1])
@@ -241,7 +288,6 @@ def _recombine(E, plan, extra_dims):
         return v
 
     v_lo = horner(lo_terms)
-    v_hi = horner(hi_terms)
     shape = (1,) * (extra_dims - 1) + (-1, 1, 1)
     ql, qh, kl, kh = (plan.ql.reshape(shape), plan.qh.reshape(shape),
                       plan.kl.reshape(shape), plan.kh.reshape(shape))
@@ -251,19 +297,21 @@ def _recombine(E, plan, extra_dims):
                            + (scalar.shape[1], 1, 1))
         return (s[0], s[1])
 
-    r_lo = u64.montmul_signed(v_lo, bc(plan.c_lo), ql, qh, kl, kh)
-    r_hi = u64.montmul_signed(v_hi, bc(plan.c_hi), ql, qh, kl, kh)
-    s = u64.add(r_lo, r_hi)                       # < 4q
-    q2 = bc(plan.q2)
-    over = ~u64.lt_unsigned(s, q2)
-    s = u64.select(over, u64.sub(s, q2), s)       # -> [0, 2q)
+    s = u64.montmul_signed(v_lo, bc(plan.c_lo), ql, qh, kl, kh)
+    if hi_terms:
+        v_hi = horner(hi_terms)
+        r_hi = u64.montmul_signed(v_hi, bc(plan.c_hi), ql, qh, kl, kh)
+        s = u64.add(s, r_hi)                      # < 4q
+        q2 = bc(plan.q2)
+        over = ~u64.lt_unsigned(s, q2)
+        s = u64.select(over, u64.sub(s, q2), s)   # -> [0, 2q)
     return s
 
 
 def _modmatmul(x_lo, x_hi, table, rs, plan, extra_dims):
     """x: packed pair [.., C, K, J] (values < 2^63). table [C, dA, O, dB*K].
     Returns packed [2?, .., C, O, J] pair via one s8 einsum."""
-    d = _merge_zd(_digits_s8(x_lo, x_hi))        # [.., C, dB*K, J]
+    d = _merge_zd(_digits_s8(x_lo, x_hi, plan.dB))        # [.., C, dB*K, J]
     E = jnp.einsum("cuoz,...czj->...cuoj", table, d,
                    preferred_element_type=jnp.int32)
     E = E + rs[..., None]                         # offset correction

@@ -118,3 +118,28 @@ def test_negacyclic_convolution_matches_golden(setup):
     prod_m = ops.mont_mult(fa_m, fb_m, pk)
     got = _canon(mxu_ntt.intt_no_norm_factor(prod_m, plan), q_list)
     assert np.array_equal(got, want)
+
+
+def test_30bit_word_mode_roundtrip():
+    """dB=dA=4 digit path (single recombination montmul per element)."""
+    ctx = CkksContext(logN=6, scale_bits=26, buffer_bit_length=30,
+                      num_scales=2, num_special_primes=1, is_secured=False)
+    nc = NttContext(ctx)
+    q_list = nc.q_ints(0, -2)
+    psis = [primitive_root_2N(q, ctx.N) for q in q_list]
+    ipsis = [pow(p, -1, q) for p, q in zip(psis, q_list)]
+    Rms = [ctx.R % q for q in q_list]
+    Ninvs = [pow(ctx.N, -1, q) for q in q_list]
+    d = mxu_ntt.make_plan(ctx.logN, q_list, Rms, psis, ipsis, Ninvs,
+                          word_bits=30)
+    assert d["dA"] == 4 and d["dB"] == 4 and d["split"] == 4
+    pack = nc.level_pack(0, -2)
+    plan = mxu_ntt.plan_from_dict(d, pack.ql, pack.qh, pack.kl, pack.kh,
+                                  pack.q2)
+    rng = np.random.default_rng(8)
+    qs = np.array(q_list, dtype=np.uint64)
+    a_int = (rng.integers(0, 1 << 30, size=(len(q_list), ctx.N),
+                          dtype=np.uint64) % qs[:, None]).astype(np.int64)
+    a = jnp.asarray(u64.from_int64_np(a_int))
+    back = mxu_ntt.intt_no_norm_factor(mxu_ntt.ntt(a, plan), plan)
+    assert np.array_equal(_canon(back, q_list), _canon(a, q_list))
