@@ -39,6 +39,13 @@ pallas_interpret = False
 # option for future tuning / other chip generations.
 use_fused_switch = False
 
+# Fused Pallas mod-down (special-prime removal): keeps the whole n_sp
+# iteration loop in VMEM on full (8,128) tiles; the composed XLA chain
+# materializes ~5*n_sp intermediates in HBM with degenerate T(1,128)
+# layouts (~1/8 vector utilization). Bit-exact with the composed ops
+# (tests/test_fused_moddown.py).
+use_fused_moddown = False
+
 
 def pallas_enabled() -> bool:
     if use_pallas is not None:

@@ -990,6 +990,13 @@ class CkksEngine:
             AND the full array), and XLA's fusion otherwise duplicates the
             whole upstream chain into both consumers — exponential compile
             time in the number of special primes."""
+            from .. import config
+            if config.use_fused_moddown and pack_sp.pallas is not None:
+                # Single Pallas kernel: whole loop in VMEM, full-tile
+                # vector ops, bit-exact with the chain below.
+                return pallas_ntt.mod_down(
+                    d, pack_sp.pallas, enter_ord, tuple(PiRs), W_ord,
+                    C_sp=C_sp, interpret=config.pallas_interpret)
             d = ops.mont_enter_scalar(d, enter_ord, pack_sp, signed=True)
             for P_ind in range(n_sp):
                 d = jax.lax.optimization_barrier(d)

@@ -397,6 +397,98 @@ def supports_fused_accum(plan) -> bool:
     return (1 << plan.logN) // LANES <= SPLIT_ROWS
 
 
+def _mod_down_kernel(cref, pirs_ref, x_ref, o_ref, *, n_sp, W_ord, C_sp):
+    """Fused special-prime removal (the engine's mod_down inner loop).
+
+    One block holds ALL channels for an N-tile, so the cross-channel
+    reads (the dropped special channel broadcast against every channel)
+    stay in VMEM and every elementwise Montgomery op runs on full
+    (sublane, lane) tiles — the composed XLA chain materializes each of
+    the ~5*n_sp intermediates in HBM in degenerate T(1,128) layouts.
+    Bit-exact with the composed ops: identical per-element op order
+    (engine _switcher_fn mod_down; reference: ckks_engine.py:846-901).
+
+    cref [8, C_sp] SMEM: ql qh kl kh q2l q2h enter_l enter_h.
+    pirs_ref [2, n_sp, C_sp] SMEM. x [2, C_sp, Rt, LANES].
+    o [2, W_ord, Rt, LANES].
+    """
+    def col(row):
+        return row.reshape(-1, 1, 1)
+
+    ql, qh = col(cref[0]), col(cref[1])
+    kl, kh = col(cref[2]), col(cref[3])
+    q2 = (col(cref[4]), col(cref[5]))
+    enter = (col(cref[6]), col(cref[7]))
+    q = u64.shr(q2, 1)
+
+    def mm_s(a, b):
+        return u64.montmul_signed(a, b, ql, qh, kl, kh)
+
+    def reduce2q(a):
+        lt = u64.lt_signed(a, q)
+        return u64.select(lt, a, u64.sub(a, q))
+
+    d = (x_ref[0], x_ref[1])
+    d = mm_s(d, enter)
+    for P_ind in range(n_sp):
+        cur = C_sp - P_ind
+        tile = (jnp.broadcast_to(d[0][cur - 1:cur], d[0].shape),
+                jnp.broadcast_to(d[1][cur - 1:cur], d[1].shape))
+        tile = mm_s(tile, enter)
+        s = u64.sub(u64.add(d, q2), tile)          # mont_sub
+        d = _cond_sub(s, q2)
+        pir = (col(pirs_ref[0, P_ind]), col(pirs_ref[1, P_ind]))
+        d = mm_s(d, pir)
+        d = reduce2q(d)
+    dl, dh = d[0][:W_ord], d[1][:W_ord]
+    qlo, qho = ql[:W_ord], qh[:W_ord]
+    klo, kho = kl[:W_ord], kh[:W_ord]
+    r = u64.montredc_signed((dl, dh), qlo, qho, klo, kho)
+    qo = (q[0][:W_ord], q[1][:W_ord])
+    lt = u64.lt_signed(r, qo)
+    r = u64.select(lt, r, u64.sub(r, qo))
+    o_ref[0] = r[0]
+    o_ref[1] = r[1]
+
+
+def mod_down(d, plan, enter_ord, PiRs, W_ord, C_sp=None, interpret=False):
+    """d: [2, W_sp, N] (signed Montgomery, intt_exit_reduce output).
+    enter_ord: packed [2, W_sp]; PiRs: tuple of packed [2, W_sp] (one per
+    special prime). C_sp: count of real channels (= W_sp unpadded; the
+    dropped special row each iteration is indexed from it). Returns
+    [2, W_ord, N] plain in [0, q).
+    """
+    _, W_sp, N = d.shape
+    if C_sp is None:
+        C_sp = W_sp
+    n_sp = len(PiRs)
+    R = N // LANES
+    # block size: full channel axis x Rt rows; cap the live set ~4 MiB.
+    rt = R
+    while W_sp * rt * LANES * 8 * 2 > (4 << 20) and rt > 8:
+        rt //= 2
+    consts = jnp.concatenate([plan.consts[:6], enter_ord], axis=0)
+    pirs = jnp.stack(PiRs, axis=1)                  # [2, n_sp, C_sp]
+    kern = functools.partial(_mod_down_kernel, n_sp=n_sp, W_ord=W_ord,
+                             C_sp=C_sp)
+    xv = d.reshape(2, W_sp, R, LANES)
+    out = pl.pallas_call(
+        kern,
+        grid=(R // rt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, W_sp, rt, LANES), lambda t: (0, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, W_ord, rt, LANES), lambda t: (0, 0, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, W_ord, R, LANES), d.dtype),
+        interpret=interpret,
+    )(consts, pirs, xv)
+    return out.reshape(2, W_ord, N)
+
+
 def ntt_ksk_accum(ext, k0_full, k1_full, plan, ident, level, part_off,
                   interpret=False):
     """Fused key-switch core. ext: [2, P, C, N] signed basis-extension
