@@ -13,29 +13,25 @@ Usage: python benchmarks/scaling.py [n_devices]
 import json
 import os
 import sys
-import time
+
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 os.pardir))
 
 
 def _mult_throughput(eng, cts, evk, iters):
-    import jax
+    from liberate_tpu.utils import benchtime
 
-    out = eng.mult(cts[0], cts[1], evk)
-    acc = eng.add(out, out)
-    jax.block_until_ready(acc.data)
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
+    def chain(K):
         acc = None
-        for i in range(iters):
+        for i in range(K):
             a, b = cts[(2 * i) % len(cts)], cts[(2 * i + 1) % len(cts)]
             o = eng.mult(a, b, evk)
             acc = o if acc is None else eng.add(acc, o)
-        jax.block_until_ready(acc.data)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        return acc.data
+
+    benchtime.sync(chain(1))
+    return benchtime.diff_time(chain, max(1, iters // 4), iters, trials=2)
 
 
 def main():
