@@ -32,12 +32,13 @@ pallas_interpret = False
 
 # Fused key-switch kernel (pallas_ntt.ntt_ksk_accum): ident-canon + NTT +
 # both ksk multiplies + part accumulation in one kernel. Bit-exact
-# (tests/test_fused_switch.py) but measured SLOWER than the composed path
-# on v5e (0.25 vs 0.17 ms/mult at silver): XLA already fuses the
-# pointwise chains around the batched NTT kernel, and the revisited
-# output block serializes the fused kernel's grid steps. Kept as an
-# option for future tuning / other chip generations.
-use_fused_switch = False
+# (tests/test_fused_switch.py) and 1.5x faster than the composed path on
+# v5e under execution-synced timing (24.1 vs 35.7 ms/mult at silver):
+# the composed chain's ksk multiplies and part folds round-trip HBM in
+# degenerate T(1,128) layouts, while the fused kernel keeps them on full
+# (8,128) tiles in VMEM. (A round-1 note claimed the opposite from
+# enqueue-rate timings; see BASELINE.md "Measurement methodology".)
+use_fused_switch = True
 
 # Fused Pallas mod-down (special-prime removal): keeps the whole n_sp
 # iteration loop in VMEM on full (8,128) tiles; the composed XLA chain

@@ -187,10 +187,10 @@ def _rescale_core(d, rs, round_half, pack_next):
 def _cc_mult_core(x0, x1, y0, y1, pack):
     """(d0, d1, d2) = (x0y0, x0y1+x1y0, x1y1) in the NTT domain
     (reference: ckks_engine.py:1090-1101)."""
-    x0 = ops.enter_ntt(x0, pack)
-    x1 = ops.enter_ntt(x1, pack)
-    y0 = ops.enter_ntt(y0, pack)
-    y1 = ops.enter_ntt(y1, pack)
+    # One batched transform (B=4) instead of four separate chains — same
+    # rationale as _relin_pre: one kernel launch, larger grid.
+    r = ops.enter_ntt(jnp.stack([x0, x1, y0, y1], axis=1), pack)
+    x0, x1, y0, y1 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
     d0 = ops.mont_mult(x0, y0, pack)
     d1 = ops.mont_add(ops.mont_mult(x0, y1, pack),
                       ops.mont_mult(x1, y0, pack), pack)
@@ -200,8 +200,8 @@ def _cc_mult_core(x0, x1, y0, y1, pack):
 
 @jax.jit
 def _square_core(x0, x1, pack):
-    x0 = ops.enter_ntt(x0, pack)
-    x1 = ops.enter_ntt(x1, pack)
+    r = ops.enter_ntt(jnp.stack([x0, x1], axis=1), pack)
+    x0, x1 = r[:, 0], r[:, 1]
     d0 = ops.mont_mult(x0, x0, pack)
     x0x1 = ops.mont_mult(x0, x1, pack)
     d1 = ops.mont_add(x0x1, x0x1, pack)

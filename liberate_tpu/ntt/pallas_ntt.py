@@ -408,17 +408,21 @@ def _mod_down_kernel(cref, pirs_ref, x_ref, o_ref, *, n_sp, W_ord, C_sp):
     Bit-exact with the composed ops: identical per-element op order
     (engine _switcher_fn mod_down; reference: ckks_engine.py:846-901).
 
-    cref [8, C_sp] SMEM: ql qh kl kh q2l q2h enter_l enter_h.
-    pirs_ref [2, n_sp, C_sp] SMEM. x [2, C_sp, Rt, LANES].
+    Per-channel constants ride in VMEM, lane-broadcast on the host to
+    [.., C, 1, LANES] so the in-kernel broadcast against [C, Rt, LANES]
+    data is sublane-only (Mosaic rejects vector loads from SMEM and
+    single-op sublane+lane broadcasts).
+
+    cref [8, C_sp, 1, LANES] VMEM: ql qh kl kh q2l q2h enter_l enter_h.
+    pirs_ref [2*n_sp, C_sp, 1, LANES] VMEM (lo planes then hi planes —
+    rank-4 like cref; Mosaic's layout inference is only exercised on
+    rank<=4 refs elsewhere in this file). x [2, C_sp, Rt, LANES].
     o [2, W_ord, Rt, LANES].
     """
-    def col(row):
-        return row.reshape(-1, 1, 1)
-
-    ql, qh = col(cref[0]), col(cref[1])
-    kl, kh = col(cref[2]), col(cref[3])
-    q2 = (col(cref[4]), col(cref[5]))
-    enter = (col(cref[6]), col(cref[7]))
+    ql, qh = cref[0], cref[1]
+    kl, kh = cref[2], cref[3]
+    q2 = (cref[4], cref[5])
+    enter = (cref[6], cref[7])
     q = u64.shr(q2, 1)
 
     def mm_s(a, b):
@@ -437,7 +441,7 @@ def _mod_down_kernel(cref, pirs_ref, x_ref, o_ref, *, n_sp, W_ord, C_sp):
         tile = mm_s(tile, enter)
         s = u64.sub(u64.add(d, q2), tile)          # mont_sub
         d = _cond_sub(s, q2)
-        pir = (col(pirs_ref[0, P_ind]), col(pirs_ref[1, P_ind]))
+        pir = (pirs_ref[P_ind], pirs_ref[n_sp + P_ind])
         d = mm_s(d, pir)
         d = reduce2q(d)
     dl, dh = d[0][:W_ord], d[1][:W_ord]
@@ -468,7 +472,13 @@ def mod_down(d, plan, enter_ord, PiRs, W_ord, C_sp=None, interpret=False):
     while W_sp * rt * LANES * 8 * 2 > (4 << 20) and rt > 8:
         rt //= 2
     consts = jnp.concatenate([plan.consts[:6], enter_ord], axis=0)
-    pirs = jnp.stack(PiRs, axis=1)                  # [2, n_sp, C_sp]
+    consts = jnp.broadcast_to(consts[:, :, None, None],
+                              (8, consts.shape[1], 1, LANES))
+    # [2*n_sp, W_sp]: lo planes for every special prime, then hi planes.
+    pirs = jnp.concatenate([jnp.stack([p[0] for p in PiRs], axis=0),
+                            jnp.stack([p[1] for p in PiRs], axis=0)], axis=0)
+    pirs = jnp.broadcast_to(pirs[:, :, None, None],
+                            (2 * n_sp, W_sp, 1, LANES))
     kern = functools.partial(_mod_down_kernel, n_sp=n_sp, W_ord=W_ord,
                              C_sp=C_sp)
     xv = d.reshape(2, W_sp, R, LANES)
@@ -476,8 +486,10 @@ def mod_down(d, plan, enter_ord, PiRs, W_ord, C_sp=None, interpret=False):
         kern,
         grid=(R // rt,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(consts.shape, lambda t: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(pirs.shape, lambda t: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((2, W_sp, rt, LANES), lambda t: (0, 0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
