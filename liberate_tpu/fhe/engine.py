@@ -991,7 +991,8 @@ class CkksEngine:
             whole upstream chain into both consumers — exponential compile
             time in the number of special primes."""
             from .. import config
-            if config.use_fused_moddown and pack_sp.pallas is not None:
+            if (config.use_fused_moddown and pack_sp.pallas is not None
+                    and pack_sp.pallas.mesh is None):
                 # Single Pallas kernel: whole loop in VMEM, full-tile
                 # vector ops, bit-exact with the chain below.
                 return pallas_ntt.mod_down(

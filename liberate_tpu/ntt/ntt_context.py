@@ -199,7 +199,7 @@ class NttContext:
             # entries [2^s : 2^{s+1}) via the shared index banks in ops.
             psi = place(self._psi_mont[:, idx, :])
             ipsi = place(self._ipsi_mont[:, idx, :])
-            pallas_plan = self._maybe_pallas_plan(idx)
+            pallas_plan = self._maybe_pallas_plan(idx, sharded=sharded)
         return LevelPack(
             pallas=pallas_plan,
             ql=place(self._ql[idx]),
@@ -224,9 +224,11 @@ class NttContext:
                 sharded=True)
         return self._level_packs[key]
 
-    def _maybe_pallas_plan(self, idx):
+    def _maybe_pallas_plan(self, idx, sharded=False):
         """A pallas_ntt plan for this channel set, when the Pallas backend
-        is enabled (TPU) and the transform is large enough (logN >= 8)."""
+        is enabled (TPU) and the transform is large enough (logN >= 8).
+        ``sharded``: this is a mesh-wide level pack — build a
+        channel-sharded plan that runs under shard_map."""
         from .. import config
 
         # logN >= 16 uses the split (row-chunk/lane-tiled) kernels, with
@@ -237,7 +239,11 @@ class NttContext:
         # via LIBTPU_INIT_ARGS: the round-1 "non-deterministic compile
         # crash" was the row-stage kernels' ~17 MiB live set against the
         # default 16 MiB scoped-vmem limit.
-        if self.channel_quantum > 1 or self.mesh is not None:
+        if self.mesh is not None and not sharded:
+            # Part packs and other unsharded channel subsets keep the XLA
+            # path on a mesh (their data slices cross shard boundaries).
+            return None
+        if self.channel_quantum > 1 and self.mesh is None:
             return None
         if not config.pallas_enabled() or not (8 <= self.logN <= 17):
             return None
@@ -249,7 +255,7 @@ class NttContext:
         ipsi_u64 = (self._ipsi_mont[0, idx].astype(np.uint64)
                     | (self._ipsi_mont[1, idx].astype(np.uint64) << 32))
         q = [ctx.q[i] for i in idx]
-        return pallas_ntt.make_plan(
+        plan = pallas_ntt.make_plan(
             self.logN,
             q,
             [ctx.k[i] for i in idx],
@@ -257,6 +263,33 @@ class NttContext:
             [(ctx.N_inv[i] * ctx.R) % ctx.q[i] for i in idx],
             psi_u64, ipsi_u64,
         )
+        if self.mesh is not None:
+            # Channel-sharded plan: the kernels run per-shard under
+            # jax.shard_map (pallas_ntt._sharded_transform); idx is already
+            # padded to the channel quantum (= mesh size multiple), so
+            # every shard gets an equal local block.
+            if idx.size % self.mesh.devices.size != 0:
+                return None
+            plan = self._shard_plan(plan)
+        return plan
+
+    def _shard_plan(self, plan):
+        """Place every plan leaf channel-sharded over the mesh."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from . import pallas_ntt
+
+        ax = self.mesh_axis
+
+        def place(x):
+            spec = (P(None, ax) if x.ndim == 2
+                    else P(None, ax, *([None] * (x.ndim - 2))))
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        leaves, _ = plan.tree_flatten()
+        return pallas_ntt.PallasPlan(
+            plan.logN, *[place(x) for x in leaves],
+            mesh=self.mesh, mesh_axis=ax)
 
     def pallas_plan(self, level: int = 0, mult_type: int = -1):
         """The Pallas plan of a level pack (None on the XLA backend)."""

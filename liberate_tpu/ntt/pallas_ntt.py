@@ -393,8 +393,11 @@ def _ntt_mulacc_kernel(cref, x_ref, rowtw_ref, lanetw_ref, k0_ref, k1_ref,
 
 def supports_fused_accum(plan) -> bool:
     """The fused switch kernel covers the single-kernel transform sizes
-    (R <= SPLIT_ROWS); the split path keeps the composed ops."""
-    return (1 << plan.logN) // LANES <= SPLIT_ROWS
+    (R <= SPLIT_ROWS); the split path keeps the composed ops. Sharded
+    plans use the composed path too (the per-part fold stays a psum
+    GSPMD can schedule)."""
+    return ((1 << plan.logN) // LANES <= SPLIT_ROWS
+            and plan.mesh is None)
 
 
 def _mod_down_kernel(cref, pirs_ref, x_ref, o_ref, *, n_sp, W_ord, C_sp):
@@ -715,9 +718,41 @@ def _row_chunks(n_row, R):
     return chunks
 
 
+def _sharded_transform(fn, a, plan, kw):
+    """Run ``fn`` (ntt/intt) per-shard under ``jax.shard_map``: the data's
+    channel axis (-2) and every plan leaf's channel axis live on
+    ``plan.mesh_axis``; each chip runs the fused kernels on its local
+    channel block. Plan leaves travel as a plain tuple (a PallasPlan in
+    ``in_specs`` would need spec-typed leaves with mismatched aux)."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh, ax = plan.mesh, plan.mesh_axis
+    leaves, _ = plan.tree_flatten()
+
+    def leaf_spec(x):
+        if x.ndim == 2:                      # consts [10, C]
+            return P(None, ax)
+        return P(None, ax, *([None] * (x.ndim - 2)))
+
+    data_spec = P(*([None] * (a.ndim - 2)), ax, None)
+
+    def body(a_l, leaves_l):
+        return fn(a_l, PallasPlan(plan.logN, *leaves_l), **kw)
+
+    # check_vma=False: pallas_call's out_shape carries no vma annotation.
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(data_spec, tuple(leaf_spec(x) for x in leaves)),
+        out_specs=data_spec, check_vma=False)(a, leaves)
+
+
 def ntt(a, plan, signed=False, pre_enter=False, post_reduce=False,
         interpret=False):
     """Forward NTT over packed [2, C, N] or batched [2, B, C, N]."""
+    if plan.mesh is not None:
+        return _sharded_transform(
+            ntt, a, plan, dict(signed=signed, pre_enter=pre_enter,
+                               post_reduce=post_reduce, interpret=interpret))
     consts = plan.consts_enter if pre_enter else plan.consts
     R = a.shape[-1] // LANES
     C = a.shape[-2]
@@ -746,6 +781,11 @@ def ntt(a, plan, signed=False, pre_enter=False, post_reduce=False,
 
 def intt(a, plan, signed=False, post_exit=False, post_reduce=False,
          interpret=False):
+    if plan.mesh is not None:
+        return _sharded_transform(
+            intt, a, plan, dict(signed=signed, post_exit=post_exit,
+                                post_reduce=post_reduce,
+                                interpret=interpret))
     R = a.shape[-1] // LANES
     C = a.shape[-2]
     if R > SPLIT_ROWS and C > CSLAB:
@@ -788,10 +828,19 @@ class PallasPlan:
     """Precomputed twiddle planes + per-channel constant rows for one
     channel layout. Constant rows (uint32 [10, C]):
     ql qh kl kh q2lo q2hi aux_lo aux_hi pad pad — aux is R^2 for the fused
-    forward enter, Ninv for the inverse normalization."""
+    forward enter, Ninv for the inverse normalization.
+
+    When ``mesh`` is set the plan is CHANNEL-SHARDED: every leaf's channel
+    axis is placed over ``mesh_axis``, and ``ntt``/``intt`` wrap the
+    kernels in ``jax.shard_map`` so each chip transforms its local channel
+    block with the fused kernels (channels are chip-local under RNS
+    sharding — SURVEY 2.4 item 1 — so the kernels need no cross-chip
+    logic). GSPMD cannot partition pallas_call automatically; this is the
+    explicit-placement answer."""
 
     def __init__(self, logN, consts, consts_enter, consts_ninv,
-                 row_tw, lane_tw, row_itw, lane_itw):
+                 row_tw, lane_tw, row_itw, lane_itw,
+                 mesh=None, mesh_axis="rns"):
         self.logN = logN
         self.consts = consts
         self.consts_enter = consts_enter
@@ -800,15 +849,20 @@ class PallasPlan:
         self.lane_tw = lane_tw
         self.row_itw = row_itw
         self.lane_itw = lane_itw
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
 
     def tree_flatten(self):
         leaves = (self.consts, self.consts_enter, self.consts_ninv,
                   self.row_tw, self.lane_tw, self.row_itw, self.lane_itw)
-        return leaves, self.logN
+        return leaves, (self.logN, self.mesh, self.mesh_axis)
 
     @classmethod
-    def tree_unflatten(cls, logN, leaves):
-        return cls(logN, *leaves)
+    def tree_unflatten(cls, aux, leaves):
+        if not isinstance(aux, tuple):   # legacy aux = logN
+            aux = (aux, None, "rns")
+        logN, mesh, mesh_axis = aux
+        return cls(logN, *leaves, mesh=mesh, mesh_axis=mesh_axis)
 
 
 jax.tree_util.register_pytree_node(

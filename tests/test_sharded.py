@@ -139,3 +139,30 @@ def test_import_host_data_onto_mesh():
     sk_s = shard_datastruct(sk, mesh)
     dec = eng4.decrode(ct_s, sk_s)
     assert abs(eng4.absmax_error(dec, m)) < 1e-4
+
+
+def test_sharded_pallas_kernels():
+    """The fused Pallas kernels run per-shard under shard_map on a mesh
+    (interpret mode on the virtual CPU mesh): same mult result as the
+    sharded XLA path."""
+    from liberate_tpu import config
+
+    config.use_pallas = True
+    config.pallas_interpret = True
+    try:
+        eng, mesh = _engine(PARAMS_NONDIV, 4)
+        lp = eng.ntt.level_pack(0, -2)
+        assert lp.pallas is not None and lp.pallas.mesh is mesh
+        assert eng.ntt.parts(1)[0].pack.pallas is None  # part packs: XLA
+        sk = eng.create_secret_key()
+        pk = eng.create_public_key(sk)
+        evk = eng.create_evk(sk)
+        m1 = eng.example(amin=-1, amax=1)
+        m2 = eng.example(amin=-1, amax=1)
+        out = eng.mult(eng.encorypt(m1, pk), eng.encorypt(m2, pk), evk)
+        _assert_rns_sharded(out, 4)
+        dec = eng.decrode(out, sk)
+        assert abs(eng.absmax_error(dec, m1 * m2)) < 1e-4
+    finally:
+        config.use_pallas = None
+        config.pallas_interpret = False
