@@ -19,12 +19,22 @@ import sys
 import time
 
 # Keep the benchmark shape manageable on whatever backend is present;
-# fall back to CPU if no accelerator is available.
-if "JAX_PLATFORMS" not in os.environ:
-    try:
-        import jax
+# fall back to CPU if no accelerator is available. The accelerator probe
+# runs in a SUBPROCESS with a timeout: on the tunneled dev runtime a dead
+# tunnel makes jax.devices() hang forever rather than raise, which would
+# hang the whole benchmark. The shell may preset JAX_PLATFORMS to the
+# accelerator platform (e.g. "axon"), so probe unless CPU was explicitly
+# requested.
+if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+    import subprocess
 
-        jax.devices()
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, timeout=180, text=True)
+        if "ok" not in probe.stdout:
+            os.environ["JAX_PLATFORMS"] = "cpu"
     except Exception:
         os.environ["JAX_PLATFORMS"] = "cpu"
 

@@ -98,3 +98,26 @@ def test_engine_mult_with_fused_switch(pallas_interpret):
     out = eng.mult(ct1, ct2, evk)
     dec = eng.decrode(out, sk)
     assert abs(eng.absmax_error(dec, m1 * m2)) < 1e-4
+
+
+def test_engine_chained_mult_and_rotate_with_fused_switch(pallas_interpret):
+    """The fused kernel is DEFAULT-ON on TPU: chain mults through several
+    levels (partial gadget parts, shrinking channel counts) and a rotation,
+    all through the fused switcher (interpret mode)."""
+    eng = liberate_tpu.CkksEngine(logN=8, scale_bits=30, num_scales=5,
+                                  num_special_primes=2, is_secured=False,
+                                  seed=23)
+    sk = eng.create_secret_key()
+    pk = eng.create_public_key(sk)
+    evk = eng.create_evk(sk)
+    m = eng.example(amin=-1, amax=1)
+    ct = eng.encorypt(m, pk)
+    want = m.copy()
+    for _ in range(3):                     # levels 0 -> 3
+        ct = eng.mult(ct, ct, evk)
+        want = want * want
+    assert abs(eng.absmax_error(eng.decrode(ct, sk), want)) < 1e-3
+    rotk = eng.create_rotation_key(sk, 2)
+    rot = eng.rotate_single(ct, rotk)
+    assert abs(eng.absmax_error(eng.decrode(rot, sk),
+                                np.roll(want, 2))) < 1e-3
