@@ -44,8 +44,17 @@ use_fused_switch = True
 # iteration loop in VMEM on full (8,128) tiles; the composed XLA chain
 # materializes ~5*n_sp intermediates in HBM with degenerate T(1,128)
 # layouts (~1/8 vector utilization). Bit-exact with the composed ops
-# (tests/test_fused_moddown.py).
+# (tests/test_fused_moddown.py). OFF: the kernel's XLA-side compile on
+# the remote TPU compiler did not terminate within 40 minutes (round 2);
+# root cause open.
 use_fused_moddown = False
+
+# Tiled (4-D view) XLA mod-down: the same composed chain computed on a
+# [2, C, N/128, 128] view, so the dropped-channel broadcast operand is
+# [2, 1, R, 128] (full 8-sublane tiles) instead of [2, 1, N] (T(1,128)
+# degenerate tiling, 1/8 vector utilization). Bit-exact with the flat
+# chain (tests/test_fused_moddown.py::test_tiled_matches_composed).
+use_tiled_moddown = False
 
 
 def pallas_enabled() -> bool:

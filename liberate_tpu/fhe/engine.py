@@ -183,6 +183,60 @@ def _rescale_core(d, rs, round_half, pack_next):
     return ops.reduce_2q(out, pack_next)
 
 
+def _mod_down_tiled(d, pack_sp, pack_ord, PiRs, enter_ord, n_sp, C_sp,
+                    W_sp, W_ord):
+    """The composed mod-down chain on a [2, C, N/128, 128] view.
+
+    Identical per-element op order to the flat chain in _switcher_fn's
+    mod_down (bit-exact), but the dropped-channel broadcast operand is
+    [1, R, 128] — full 8-sublane tiles — instead of [1, N] (which XLA
+    tiles T(1,128), wasting 7/8 of every vector op on that operand's
+    consumers)."""
+    N = d.shape[2]
+    R = N // 128
+    v = (d[0].reshape(W_sp, R, 128), d[1].reshape(W_sp, R, 128))
+
+    def col(s):                       # packed [2, C] -> pair [C, 1, 1]
+        return (s[0][:, None, None], s[1][:, None, None])
+
+    ql = pack_sp.ql[:, None, None]
+    qh = pack_sp.qh[:, None, None]
+    kl = pack_sp.kl[:, None, None]
+    kh = pack_sp.kh[:, None, None]
+    q2 = col(pack_sp.q2)
+    q = u64.shr(q2, 1)
+
+    def mm_s(a, b):
+        return u64.montmul_signed(a, b, ql, qh, kl, kh)
+
+    def cond_sub(a):
+        over = ~u64.lt_signed(a, q2)
+        return u64.select(over, u64.sub(a, q2), a)
+
+    enter = col(enter_ord)
+    v = mm_s(v, enter)
+    for P_ind in range(n_sp):
+        v = jax.lax.optimization_barrier(v)
+        cur = C_sp - P_ind
+        tile = (jnp.broadcast_to(v[0][cur - 1:cur], v[0].shape),
+                jnp.broadcast_to(v[1][cur - 1:cur], v[1].shape))
+        tile = mm_s(tile, enter)
+        v = cond_sub(u64.sub(u64.add(v, q2), tile))      # mont_sub
+        v = mm_s(v, col(PiRs[P_ind]))
+        lt = u64.lt_signed(v, q)                          # reduce_2q
+        v = u64.select(lt, v, u64.sub(v, q))
+    v = jax.lax.optimization_barrier(v)
+    vo = (v[0][:W_ord], v[1][:W_ord])
+    qlo, qho = pack_ord.ql[:, None, None], pack_ord.qh[:, None, None]
+    klo, kho = pack_ord.kl[:, None, None], pack_ord.kh[:, None, None]
+    r = u64.montredc_signed(vo, qlo, qho, klo, kho)
+    q2o = (pack_ord.q2[0][:, None, None], pack_ord.q2[1][:, None, None])
+    qo = u64.shr(q2o, 1)
+    lt = u64.lt_signed(r, qo)
+    r = u64.select(lt, r, u64.sub(r, qo))
+    return u64.pack(r[0].reshape(W_ord, N), r[1].reshape(W_ord, N))
+
+
 @jax.jit
 def _cc_mult_core(x0, x1, y0, y1, pack):
     """(d0, d1, d2) = (x0y0, x0y1+x1y0, x1y1) in the NTT domain
@@ -998,6 +1052,9 @@ class CkksEngine:
                 return pallas_ntt.mod_down(
                     d, pack_sp.pallas, enter_ord, tuple(PiRs), W_ord,
                     C_sp=C_sp, interpret=config.pallas_interpret)
+            if config.use_tiled_moddown:
+                return _mod_down_tiled(d, pack_sp, pack_ord, tuple(PiRs),
+                                       enter_ord, n_sp, C_sp, W_sp, W_ord)
             d = ops.mont_enter_scalar(d, enter_ord, pack_sp, signed=True)
             for P_ind in range(n_sp):
                 d = jax.lax.optimization_barrier(d)
