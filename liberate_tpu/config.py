@@ -49,6 +49,11 @@ use_fused_switch = True
 # root cause open.
 use_fused_moddown = False
 
+# Tiled (4-D view) XLA rescale: _rescale_core computed on a
+# [2, C, N/128, 128] view — same rationale as use_tiled_moddown below.
+# Bit-exact (tests/test_engine.py::test_tiled_rescale_bit_exact).
+use_tiled_rescale = False
+
 # Tiled (4-D view) XLA mod-down: the same composed chain computed on a
 # [2, C, N/128, 128] view, so the dropped-channel broadcast operand is
 # [2, 1, R, 128] (full 8-sublane tiles) instead of [2, 1, N] (T(1,128)

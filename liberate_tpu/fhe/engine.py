@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import config
 from ..csprng import Csprng
 from ..ntt import ops, pallas_ntt, u64
 from ..ntt.ntt_context import NttContext, LevelPack
@@ -181,6 +182,47 @@ def _rescale_core(d, rs, round_half, pack_next):
         out = u64.pack(*u64.add((out[0], out[1]),
                                 (rounder, jnp.zeros_like(rounder))))
     return ops.reduce_2q(out, pack_next)
+
+
+@jax.jit
+def _rescale_core_tiled(d, rs, round_half, pack_next):
+    """_rescale_core on the [2, C, N/128, 128] view — identical op order
+    (bit-exact), but the dropped-channel broadcast operand carries full
+    8-sublane tiles instead of XLA's degenerate T(1,128) tiling for
+    [2, 1, N]. Selected at CALL time via config.use_tiled_rescale (a
+    separate jitted entry keeps the trace caches of the two paths
+    independent)."""
+    W = pack_next.q2.shape[1]
+    N = d.shape[2]
+    R = N // 128
+    v = (d[0].reshape(-1, R, 128), d[1].reshape(-1, R, 128))
+    s = (v[0][0:1], v[1][0:1])
+    body = (v[0][1:], v[1][1:])
+    C = body[0].shape[0]
+    if W > C:       # fit_channels: repeat the last real channel
+        pad = lambda x: jnp.concatenate(
+            [x, jnp.broadcast_to(x[-1:], (W - C, R, 128))], axis=0)
+        body = (pad(body[0]), pad(body[1]))
+    s_b = (jnp.broadcast_to(s[0], body[0].shape),
+           jnp.broadcast_to(s[1], body[1].shape))
+    diff = u64.sub(body, s_b)
+    ql = pack_next.ql[:, None, None]
+    qh = pack_next.qh[:, None, None]
+    kl = pack_next.kl[:, None, None]
+    kh = pack_next.kh[:, None, None]
+    out = u64.montmul_signed(
+        diff, (rs[0][:, None, None], rs[1][:, None, None]),
+        ql, qh, kl, kh)
+    if round_half is not None:
+        rh = (round_half[0].reshape(1, 1, 1), round_half[1].reshape(1, 1, 1))
+        gt = ~u64.lt_unsigned(s, rh) & ~u64.eq(s, rh)
+        rounder = jnp.broadcast_to(gt.astype(jnp.uint32), out[0].shape)
+        out = u64.add(out, (rounder, jnp.zeros_like(rounder)))
+    q2 = (pack_next.q2[0][:, None, None], pack_next.q2[1][:, None, None])
+    q = u64.shr(q2, 1)
+    lt = u64.lt_signed(out, q)
+    out = u64.select(lt, out, u64.sub(out, q))
+    return u64.pack(out[0].reshape(W, N), out[1].reshape(W, N))
 
 
 def _mod_down_tiled(d, pack_sp, pack_ord, PiRs, enter_ord, n_sp, C_sp,
@@ -1168,10 +1210,10 @@ class CkksEngine:
                                            level_max=self.num_levels)
         pack_next = self.pack(next_level, -1)
         rh = self.round_halves[level] if exact_rounding else None
-        c0 = _rescale_core(ct.data[0], self.rescale_scales[level],
-                           rh, pack_next)
-        c1 = _rescale_core(ct.data[1], self.rescale_scales[level],
-                           rh, pack_next)
+        core = (_rescale_core_tiled if config.use_tiled_rescale
+                else _rescale_core)
+        c0 = core(ct.data[0], self.rescale_scales[level], rh, pack_next)
+        c1 = core(ct.data[1], self.rescale_scales[level], rh, pack_next)
         return DataStruct((c0, c1), False, False, False,
                           types.origins["ct"], next_level, self.hash)
 
@@ -1195,12 +1237,15 @@ class CkksEngine:
             return self._switcher_cache[key]
         switch = self._switcher_fn(level + 1, False)
 
+        rescale_core = (_rescale_core_tiled if config.use_tiled_rescale
+                        else _rescale_core)
+
         def fn(a0, a1, b0, b1, k0st, k1st, rs, rh, pack_next, plans,
                part_packs, pack_sp, PiRs, enter_ord, ident):
-            x0 = _rescale_core(a0, rs, rh, pack_next)
-            x1 = _rescale_core(a1, rs, rh, pack_next)
-            y0 = _rescale_core(b0, rs, rh, pack_next)
-            y1 = _rescale_core(b1, rs, rh, pack_next)
+            x0 = rescale_core(a0, rs, rh, pack_next)
+            x1 = rescale_core(a1, rs, rh, pack_next)
+            y0 = rescale_core(b0, rs, rh, pack_next)
+            y1 = rescale_core(b1, rs, rh, pack_next)
             d0, d1, d2 = _cc_mult_core(x0, x1, y0, y1, pack_next)
             d0, d1, d2 = _relin_pre(d0, d1, d2, pack_next)
             s0, s1 = switch(d2, k0st, k1st, plans, part_packs,

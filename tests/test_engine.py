@@ -193,3 +193,23 @@ def test_multiparty_threshold_decrypt(eng, keys):
     pcts += [eng.multiparty_decrypt_partial(ct, s) for s in sks[1:]]
     dec = eng.multiparty_decrypt_fusion(pcts, level=ct.level)
     assert err(eng, dec[:eng.num_slots], m) < MULT_TOL
+
+
+def test_tiled_rescale_bit_exact(eng, keys):
+    """_rescale_core_tiled produces the identical ciphertext to the flat
+    core (same op chain on a 4-D view)."""
+    import numpy as np
+    from liberate_tpu import config
+    from liberate_tpu.fhe import engine as engine_mod
+
+    sk, pk, evk = keys
+    m = eng.example(amin=-1, amax=1)
+    ct = eng.encorypt(m, pk)
+    flat = eng.rescale(ct)
+    config.use_tiled_rescale = True
+    try:
+        tiled = eng.rescale(ct)
+    finally:
+        config.use_tiled_rescale = False
+    for a, b in zip(flat.data, tiled.data):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
