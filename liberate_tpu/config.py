@@ -49,6 +49,13 @@ use_fused_switch = True
 # root cause open.
 use_fused_moddown = False
 
+# Tiled (4-D view) basis extension: pre_extend/extend computed on the
+# [C, N/128, 128] pair view — the divided-difference rows are
+# single-channel [2, 1, N] arrays that XLA otherwise tiles T(1,128)
+# (1/8 vector utilization). Bit-exact with the flat chain
+# (tests/test_engine.py::test_tiled_extend_bit_exact).
+use_tiled_extend = False
+
 # Tiled (4-D view) XLA rescale: _rescale_core computed on a
 # [2, C, N/128, 128] view — same rationale as use_tiled_moddown below.
 # Bit-exact (tests/test_engine.py::test_tiled_rescale_bit_exact).

@@ -1073,6 +1073,74 @@ class CkksEngine:
                 ext = ops.mont_add(ext, Y, pack_sp)
             return ext
 
+        def pre_extend_tiled(a, start, alpha, part_pack, plan):
+            """pre_extend on the [C, N/128, 128] pair view — identical op
+            chain (bit-exact); the single-channel rows get full 8-sublane
+            tiles instead of T(1,128) (see config.use_tiled_extend)."""
+            a_part = a[:, start:start + alpha]
+            if exit_ntt:
+                a_part = ops.intt_exit_reduce(a_part, part_pack)
+            N = a_part.shape[2]
+            R = N // 128
+            v = (a_part[0].reshape(alpha, R, 128),
+                 a_part[1].reshape(alpha, R, 128))
+            Y_scalar, L_scalar, _ = plan
+
+            def cons(lo, hi):
+                return (part_pack.ql[lo:hi, None, None],
+                        part_pack.qh[lo:hi, None, None],
+                        part_pack.kl[lo:hi, None, None],
+                        part_pack.kh[lo:hi, None, None])
+
+            def scal(s):            # packed [2, k] -> pair [k, 1, 1]
+                return (s[0][:, None, None], s[1][:, None, None])
+
+            state = [(v[0][0:1], v[1][0:1])] * alpha
+            for i in range(alpha - 1):
+                row = (v[0][i + 1:i + 2], v[1][i + 1:i + 2])
+                diff = u64.sub(row, state[i + 1])
+                Y = u64.montmul_signed(diff, scal(Y_scalar[:, i:i + 1]),
+                                       *cons(i + 1, i + 2))
+                state[i + 1] = Y
+                if i + 2 < alpha:
+                    Yt = (jnp.broadcast_to(Y[0], (alpha - i - 2, R, 128)),
+                          jnp.broadcast_to(Y[1], (alpha - i - 2, R, 128)))
+                    new = u64.montmul_signed(Yt, scal(L_scalar[i]),
+                                             *cons(i + 2, alpha))
+                    for j in range(i + 2, alpha):
+                        srow = (new[0][j - i - 2:j - i - 1],
+                                new[1][j - i - 2:j - i - 1])
+                        state[j] = u64.add(state[j], srow)
+            return state, R
+
+        def extend_tiled(state, plan, pack_sp, R):
+            """extend on the [W_sp, N/128, 128] pair view (bit-exact with
+            extend; returns a packed [2, W_sp, N] array)."""
+            _, _, L_enter = plan
+            ql = pack_sp.ql[:, None, None]
+            qh = pack_sp.qh[:, None, None]
+            kl = pack_sp.kl[:, None, None]
+            kh = pack_sp.kh[:, None, None]
+            q2 = (pack_sp.q2[0][:, None, None],
+                  pack_sp.q2[1][:, None, None])
+            Rs = (pack_sp.Rs[0][:, None, None],
+                  pack_sp.Rs[1][:, None, None])
+            ext = (jnp.broadcast_to(state[0][0], (W_sp, R, 128)),
+                   jnp.broadcast_to(state[0][1], (W_sp, R, 128)))
+            ext = u64.montmul_signed(ext, Rs, ql, qh, kl, kh)
+            for i in range(len(state) - 1):
+                Y = (jnp.broadcast_to(state[i + 1][0], (W_sp, R, 128)),
+                     jnp.broadcast_to(state[i + 1][1], (W_sp, R, 128)))
+                le = L_enter[i][:, lvl:lvl + W_sp]
+                Y = u64.montmul_signed(
+                    Y, (le[0][:, None, None], le[1][:, None, None]),
+                    ql, qh, kl, kh)
+                s = u64.add(ext, Y)                      # mont_add
+                over = ~u64.lt_signed(s, q2)
+                ext = u64.select(over, u64.sub(s, q2), s)
+            return u64.pack(ext[0].reshape(W_sp, -1),
+                            ext[1].reshape(W_sp, -1))
+
         def mod_down(d, pack_sp, pack_ord, PiRs, enter_ord):
             """Divide by P = prod(special primes), one special prime at a
             time (reference: ckks_engine.py:846-901). Invariant: ordinary
@@ -1128,12 +1196,16 @@ class CkksEngine:
             # Pallas path, via block indexing with zero copies).
             exts = []
             for idx, (start, alpha) in enumerate(parts_meta):
-                state = pre_extend(a, start, alpha, part_packs[idx],
-                                   plans[idx])
-                exts.append(extend(state, plans[idx], pack_sp))
+                if config.use_tiled_extend:
+                    state, R = pre_extend_tiled(a, start, alpha,
+                                                part_packs[idx], plans[idx])
+                    exts.append(extend_tiled(state, plans[idx], pack_sp, R))
+                else:
+                    state = pre_extend(a, start, alpha, part_packs[idx],
+                                       plans[idx])
+                    exts.append(extend(state, plans[idx], pack_sp))
             ext = jnp.stack(exts, axis=1)                  # [2, P, C_sp, N]
 
-            from .. import config
             plan = pack_sp.pallas
             if (config.use_fused_switch and plan is not None
                     and pallas_ntt.supports_fused_accum(plan)):

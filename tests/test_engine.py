@@ -213,3 +213,36 @@ def test_tiled_rescale_bit_exact(eng, keys):
         config.use_tiled_rescale = False
     for a, b in zip(flat.data, tiled.data):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tiled_extend_bit_exact():
+    """The tiled pre_extend/extend (config.use_tiled_extend) produces the
+    bit-identical switched ciphertext (fresh engines so the per-level
+    switcher caches don't mix the two traces)."""
+    import numpy as np
+    from liberate_tpu import config
+    from liberate_tpu.fhe.engine import CkksEngine
+
+    params = dict(logN=8, scale_bits=30, num_scales=5,
+                  num_special_primes=2, is_secured=False, seed=31)
+    # One shared message: example() draws from the global numpy RNG, so
+    # each run must see identical inputs for bit-comparison.
+    rng = np.random.default_rng(99)
+    shared_m = rng.uniform(-1, 1, 128) + 1j * rng.uniform(-1, 1, 128)
+
+    def run(tiled):
+        config.use_tiled_extend = tiled
+        try:
+            e = CkksEngine(**params)
+            sk = e.create_secret_key()
+            pk = e.create_public_key(sk)
+            evk = e.create_evk(sk)
+            ct = e.mult(e.encorypt(shared_m, pk), e.encorypt(shared_m, pk),
+                        evk)
+            return ct
+        finally:
+            config.use_tiled_extend = False
+
+    flat, tiled = run(False), run(True)
+    for a, b in zip(flat.data, tiled.data):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
