@@ -1154,7 +1154,6 @@ class CkksEngine:
             AND the full array), and XLA's fusion otherwise duplicates the
             whole upstream chain into both consumers — exponential compile
             time in the number of special primes."""
-            from .. import config
             if (config.use_fused_moddown and pack_sp.pallas is not None
                     and pack_sp.pallas.mesh is None):
                 # Single Pallas kernel: whole loop in VMEM, full-tile

@@ -107,3 +107,34 @@ def test_batched_split(monkeypatch):
     assert _eq(got[:, 0], pallas_ntt.ntt(a, plan, interpret=True))
     assert _eq(got[:, 1],
                pallas_ntt.ntt(ops.mont_add(a, a, pack), plan, interpret=True))
+
+
+@pytest.mark.slow
+def test_platinum_width_plan_logN17():
+    """The REAL logN=17 plan (R=1024: split row chunks, channel slabs,
+    transposed big-m stages — the platinum production form) is bit-exact
+    vs the XLA oracle in interpret mode, on a 3-channel slice
+    (VERDICT round-1 item 2)."""
+    scales = 2
+    ctx = CkksContext(logN=17, scale_bits=40, num_scales=scales,
+                      num_special_primes=1, is_secured=False)
+    nc = NttContext(ctx)
+    pack = nc.level_pack(0, -2)
+    start, stop = nc.channel_range(0, -2)
+    from liberate_tpu import config
+    config.use_pallas = True
+    try:
+        plan = nc._maybe_pallas_plan(np.arange(start, stop))
+    finally:
+        config.use_pallas = None
+    assert plan is not None
+    C = stop - start
+    rng = np.random.default_rng(17)
+    qs = np.array(ctx.q, dtype=np.uint64)
+    a_int = (rng.integers(0, 2 ** 62, size=(C, ctx.N), dtype=np.uint64)
+             % qs[:, None]).astype(np.int64)
+    a = jnp.asarray(u64.from_int64_np(a_int))
+    assert _eq(pallas_ntt.ntt(a, plan, interpret=True), ops.ntt(a, pack))
+    assert _eq(pallas_ntt.intt(a, plan, post_exit=True, post_reduce=True,
+                               interpret=True),
+               ops.intt_exit_reduce(a, pack))
