@@ -306,7 +306,8 @@ def _ntt_kernel(cref, x_ref, rowtw_ref, lanetw_ref, o_ref, *,
 
 def _intt_kernel(cref, x_ref, rowtw_ref, lanetw_ref, o_ref, *,
                  logN, signed, post_exit, post_reduce,
-                 do_rows=True, do_lanes=True, row_lo=0, row_hi=None):
+                 do_rows=True, do_lanes=True, row_lo=0, row_hi=None,
+                 no_norm=False):
     c = _read_consts(cref)
     lo = x_ref[0, 0, 0]
     hi = x_ref[1, 0, 0]
@@ -316,7 +317,7 @@ def _intt_kernel(cref, x_ref, rowtw_ref, lanetw_ref, o_ref, *,
     if do_rows:
         lo, hi = _row_stages_inv(lo, hi, rowtw_ref[0, 0], rowtw_ref[1, 0],
                                  c, logN, signed, s_lo=row_lo, s_hi=row_hi)
-        if row_lo == 0:
+        if row_lo == 0 and not no_norm:
             ch = pl.program_id(1)
             S = (cref[6, ch], cref[7, ch])  # Ninv (Montgomery form)
             lo, hi = _mm((lo, hi), S, c, signed)
@@ -780,11 +781,16 @@ def ntt(a, plan, signed=False, pre_enter=False, post_reduce=False,
 
 
 def intt(a, plan, signed=False, post_exit=False, post_reduce=False,
-         interpret=False):
+         no_norm=False, interpret=False):
+    """Inverse NTT. no_norm skips the trailing N^{-1} multiply (the
+    coefficient-sharded path normalizes globally after its cross-shard
+    stages — identical op chain to ops.intt_no_norm)."""
+    assert not (no_norm and (post_exit or post_reduce)), \
+        "no_norm skips the exit chain entirely"
     if plan.mesh is not None:
         return _sharded_transform(
             intt, a, plan, dict(signed=signed, post_exit=post_exit,
-                                post_reduce=post_reduce,
+                                post_reduce=post_reduce, no_norm=no_norm,
                                 interpret=interpret))
     R = a.shape[-1] // LANES
     C = a.shape[-2]
@@ -792,12 +798,12 @@ def intt(a, plan, signed=False, post_exit=False, post_reduce=False,
         return jnp.concatenate(
             [intt(a[..., lo:hi, :], _slab_plan(plan, lo, hi), signed=signed,
                   post_exit=post_exit, post_reduce=post_reduce,
-                  interpret=interpret)
+                  no_norm=no_norm, interpret=interpret)
              for lo, hi in _slab_bounds(C)], axis=-2)
     if R <= SPLIT_ROWS:
         kern = functools.partial(_intt_kernel, logN=plan.logN, signed=signed,
                                  post_exit=post_exit,
-                                 post_reduce=post_reduce)
+                                 post_reduce=post_reduce, no_norm=no_norm)
         return _call(kern, a, plan.consts_ninv, plan.row_itw, plan.lane_itw,
                      interpret)
     n_row = plan.logN - LANE_STAGES
@@ -810,7 +816,8 @@ def intt(a, plan, signed=False, post_exit=False, post_reduce=False,
     for lo_s, hi_s in reversed(_row_chunks(n_row, R)):
         k2 = functools.partial(_intt_kernel, logN=plan.logN, signed=signed,
                                post_exit=post_exit, post_reduce=False,
-                               do_lanes=False, row_lo=lo_s, row_hi=hi_s)
+                               do_lanes=False, row_lo=lo_s, row_hi=hi_s,
+                               no_norm=no_norm)
         mid = _call(k2, mid, plan.consts_ninv, plan.row_itw, plan.lane_itw,
                     interpret)
     # The final [0,2q)->[0,q) reduce runs OUTSIDE the kernels on this path.

@@ -49,7 +49,9 @@ class CoefShardPlan:
     """
 
     def __init__(self, mesh, axis, S, logN, pack, psi_l, ipsi_l,
-                 cross_f, cross_i):
+                 cross_f, cross_i, pl_logL=None, pl_consts=None,
+                 pl_row_tw=None, pl_lane_tw=None, pl_row_itw=None,
+                 pl_lane_itw=None):
         self.mesh = mesh
         self.axis = axis
         self.S = S
@@ -59,6 +61,15 @@ class CoefShardPlan:
         self.ipsi_l = ipsi_l
         self.cross_f = cross_f
         self.cross_i = cross_i
+        # Optional per-shard Pallas twiddle planes (local transforms run
+        # the fused kernels instead of the XLA butterfly): stacked
+        # [2, S, ...] arrays sharded over the coef axis.
+        self.pl_logL = pl_logL
+        self.pl_consts = pl_consts
+        self.pl_row_tw = pl_row_tw
+        self.pl_lane_tw = pl_lane_tw
+        self.pl_row_itw = pl_row_itw
+        self.pl_lane_itw = pl_lane_itw
 
 
 def _rearranged_bank(bank: np.ndarray, S: int) -> np.ndarray:
@@ -103,8 +114,60 @@ def make_coef_plan(ntt_ctx, mesh: Mesh, axis: str = "coef",
     ipsi = ntt_ctx._ipsi_mont[:, start:stop]
     logN = ntt_ctx.logN
 
-    psi_l = _rearranged_bank(psi, S).reshape(2, stop - start, -1)
-    ipsi_l = _rearranged_bank(ipsi, S).reshape(2, stop - start, -1)
+    psi_sh = _rearranged_bank(psi, S)            # [2, C, S, L]
+    ipsi_sh = _rearranged_bank(ipsi, S)
+    psi_l = psi_sh.reshape(2, stop - start, -1)
+    ipsi_l = ipsi_sh.reshape(2, stop - start, -1)
+
+    # Per-shard Pallas twiddle planes: the local length-L transforms run
+    # the fused kernels (bit-exact — same butterfly network on the
+    # rearranged bank) when the local size supports them.
+    from .. import config
+    L = (1 << logN) // S
+    logL = L.bit_length() - 1
+    pl = dict(pl_logL=None, pl_consts=None, pl_row_tw=None,
+              pl_lane_tw=None, pl_row_itw=None, pl_lane_itw=None)
+    if config.pallas_enabled() and logL >= 8:
+        from ..ntt import pallas_ntt
+
+        def u64v(b):      # packed u32 [2, C, S, L] -> u64 [S, C, L]
+            v = (b[0].astype(np.uint64)
+                 | (b[1].astype(np.uint64) << np.uint64(32)))
+            return np.moveaxis(v, 1, 0)
+
+        def planes(bank_u64):
+            rows, lanes = [], []
+            for i in range(S):
+                r, l = pallas_ntt.build_tw_planes(bank_u64[i], logL)
+                rows.append(r)
+                lanes.append(l)
+            return (np.stack(rows, axis=0), np.stack(lanes, axis=0))
+
+        rf, lf = planes(u64v(psi_sh))
+        ri, li = planes(u64v(ipsi_sh))
+
+        def pack_u64(arr):   # u64 [S, ...] -> packed u32 [2, S, ...]
+            return np.stack([(arr & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                             (arr >> np.uint64(32)).astype(np.uint32)])
+
+        def put(x):
+            spec = P(None, axis, *([None] * (x.ndim - 2)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        q = [ntt_ctx.ctx.q[i] for i in range(start, stop)]
+        kk = [ntt_ctx.ctx.k[i] for i in range(start, stop)]
+        LB = (1 << 31) - 1
+        consts = np.zeros((10, stop - start), dtype=np.uint32)
+        consts[0] = np.array([qi & LB for qi in q], dtype=np.uint64)
+        consts[1] = np.array([qi >> 31 for qi in q], dtype=np.uint64)
+        consts[2] = np.array([ki & LB for ki in kk], dtype=np.uint64)
+        consts[3] = np.array([ki >> 31 for ki in kk], dtype=np.uint64)
+        consts[4] = np.array([(2 * qi) & 0xFFFFFFFF for qi in q],
+                             dtype=np.uint64)
+        consts[5] = np.array([(2 * qi) >> 32 for qi in q], dtype=np.uint64)
+        pl = dict(pl_logL=logL, pl_consts=jnp.asarray(consts),
+                  pl_row_tw=put(pack_u64(rf)), pl_lane_tw=put(pack_u64(lf)),
+                  pl_row_itw=put(pack_u64(ri)), pl_lane_itw=put(pack_u64(li)))
 
     sh_coef = NamedSharding(mesh, P(None, None, axis))
     return CoefShardPlan(
@@ -114,6 +177,7 @@ def make_coef_plan(ntt_ctx, mesh: Mesh, axis: str = "coef",
         jax.device_put(ipsi_l, sh_coef),
         jnp.asarray(_cross_scalars(psi, S)),
         jnp.asarray(_cross_scalars(ipsi, S)),
+        **pl,
     )
 
 
@@ -160,11 +224,45 @@ def _cs(v, q2):
     return u64.select(over, u64.sub(v, q2), v)
 
 
+def _local_pallas_plan(plan, row_tw, lane_tw):
+    """Rebuild a local PallasPlan inside shard_map from this shard's
+    stacked-plane slices (the inverse kernel runs no_norm, so the aux
+    rows of consts are unused — base consts serve all three slots)."""
+    from ..ntt import pallas_ntt
+
+    c = plan.pl_consts
+    return pallas_ntt.PallasPlan(plan.pl_logL, c, c, c,
+                                 row_tw[:, 0], lane_tw[:, 0],
+                                 row_tw[:, 0], lane_tw[:, 0])
+
+
 def ntt_coef_sharded(a, plan: CoefShardPlan):
     """Forward negacyclic NTT of [2, C, N] with N sharded over the mesh.
 
-    Bit-exact vs ops.ntt (natural order in, bit-reversed out)."""
+    Bit-exact vs ops.ntt (natural order in, bit-reversed out). The local
+    length-L stages run the fused Pallas kernels when the plan carries
+    per-shard twiddle planes (make_coef_plan on a TPU backend)."""
     S, k, axis = plan.S, plan.S.bit_length() - 1, plan.axis
+
+    if plan.pl_row_tw is not None:
+        from .. import config
+        from ..ntt import pallas_ntt
+
+        def fnp(x, cross_f, row_tw, lane_tw):
+            pack = plan.pack
+            for s in range(k):
+                x = _cross_fwd(x, cross_f[:, s, :, 0], pack, axis, S, s, k)
+            lp = _local_pallas_plan(plan, row_tw, lane_tw)
+            return pallas_ntt.ntt(x, lp,
+                                  interpret=config.pallas_interpret)
+
+        return jax.shard_map(
+            fnp, mesh=plan.mesh,
+            in_specs=(P(None, None, axis), P(None, None, None, axis),
+                      P(None, axis, None, None, None),
+                      P(None, axis, None, None)),
+            out_specs=P(None, None, axis), check_vma=False,
+        )(a, plan.cross_f, plan.pl_row_tw, plan.pl_lane_tw)
 
     def fn(x, psi_l, cross_f):
         pack = plan.pack
@@ -186,6 +284,34 @@ def intt_coef_sharded(a, plan: CoefShardPlan):
     """Inverse NTT with N^{-1} normalization, coefficient-sharded."""
     S, k, axis = plan.S, plan.S.bit_length() - 1, plan.axis
 
+    def _norm(x, pack):
+        b = pack.Ninv[:, :, None]
+        return u64.pack(*u64.montmul(
+            (x[0], x[1]), (b[0], b[1]),
+            pack.ql[:, None], pack.qh[:, None],
+            pack.kl[:, None], pack.kh[:, None]))
+
+    if plan.pl_row_itw is not None:
+        from .. import config
+        from ..ntt import pallas_ntt
+
+        def fnp(x, cross_i, row_itw, lane_itw):
+            pack = plan.pack
+            lp = _local_pallas_plan(plan, row_itw, lane_itw)
+            x = pallas_ntt.intt(x, lp, no_norm=True,
+                                interpret=config.pallas_interpret)
+            for s in reversed(range(k)):
+                x = _cross_inv(x, cross_i[:, s, :, 0], pack, axis, S, s, k)
+            return _norm(x, pack)
+
+        return jax.shard_map(
+            fnp, mesh=plan.mesh,
+            in_specs=(P(None, None, axis), P(None, None, None, axis),
+                      P(None, axis, None, None, None),
+                      P(None, axis, None, None)),
+            out_specs=P(None, None, axis), check_vma=False,
+        )(a, plan.cross_i, plan.pl_row_itw, plan.pl_lane_itw)
+
     def fn(x, ipsi_l, cross_i):
         pack = plan.pack
         local_pack = pack._replace(psi=ipsi_l, ipsi=ipsi_l)
@@ -193,11 +319,7 @@ def intt_coef_sharded(a, plan: CoefShardPlan):
         for s in reversed(range(k)):
             scal = cross_i[:, s, :, 0]
             x = _cross_inv(x, scal, pack, axis, S, s, k)
-        b = pack.Ninv[:, :, None]
-        return u64.pack(*u64.montmul(
-            (x[0], x[1]), (b[0], b[1]),
-            pack.ql[:, None], pack.qh[:, None],
-            pack.kl[:, None], pack.kh[:, None]))
+        return _norm(x, pack)
 
     shard = jax.shard_map(
         fn, mesh=plan.mesh,

@@ -94,3 +94,31 @@ def test_coef_sharded_bit_exact_logN13(logN, S):
     f_sharded = jax.device_put(
         f_want, NamedSharding(plan.mesh, P(None, None, "coef")))
     assert _eq(intt_coef_sharded(f_sharded, plan), ops.intt(f_want, pack))
+
+
+def test_coef_sharded_pallas_local_bit_exact():
+    """Local stages through the fused Pallas kernels (interpret): same
+    bits as the XLA local path and the single-chip oracle (logN=10 on 4
+    shards -> logL=8, the smallest kernel-eligible local size)."""
+    from liberate_tpu import config
+
+    logN, S = 10, 4
+    pack, _, a, _ = _setup(logN, S)
+    config.use_pallas = True
+    config.pallas_interpret = True
+    try:
+        ctx = CkksContext(logN=logN, scale_bits=30, num_scales=3,
+                          num_special_primes=2, is_secured=False)
+        nc = NttContext(ctx)
+        mesh = make_mesh(S, axis_name="coef")
+        plan = make_coef_plan(nc, mesh)
+        assert plan.pl_row_tw is not None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        a_sh = jax.device_put(a, NamedSharding(mesh, P(None, None, "coef")))
+        assert _eq(ntt_coef_sharded(a_sh, plan), ops.ntt(a, pack))
+        f = ops.ntt(a, pack)
+        f_sh = jax.device_put(f, NamedSharding(mesh, P(None, None, "coef")))
+        assert _eq(intt_coef_sharded(f_sh, plan), ops.intt(f, pack))
+    finally:
+        config.use_pallas = None
+        config.pallas_interpret = False
