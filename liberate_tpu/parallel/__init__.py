@@ -13,6 +13,7 @@ channel broadcast -> collective-broadcast).
 
 from .sharding import (
     make_mesh,
+    make_mesh2d,
     shard_poly,
     shard_datastruct,
     replicate_datastruct,
@@ -22,6 +23,7 @@ from .sharding import (
 
 __all__ = [
     "make_mesh",
+    "make_mesh2d",
     "shard_poly",
     "shard_datastruct",
     "replicate_datastruct",

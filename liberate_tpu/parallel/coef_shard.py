@@ -46,12 +46,18 @@ class CoefShardPlan:
       slice [..., i*L:(i+1)*L] is its local length-L bank.
     - cross_f / cross_i: [2, k, C, S] per-stage per-shard twiddle scalars
       (forward / inverse).
+
+    rns_axis: optional second mesh axis sharding the CHANNEL dimension —
+    the 2-D ('rns', 'coef') layout. Channels are independent transforms,
+    so the rns axis adds no communication; every per-channel constant is
+    simply passed into shard_map with a channel-sharded spec instead of
+    being captured (closure capture would replicate it).
     """
 
     def __init__(self, mesh, axis, S, logN, pack, psi_l, ipsi_l,
                  cross_f, cross_i, pl_logL=None, pl_consts=None,
                  pl_row_tw=None, pl_lane_tw=None, pl_row_itw=None,
-                 pl_lane_itw=None):
+                 pl_lane_itw=None, rns_axis=None):
         self.mesh = mesh
         self.axis = axis
         self.S = S
@@ -61,6 +67,7 @@ class CoefShardPlan:
         self.ipsi_l = ipsi_l
         self.cross_f = cross_f
         self.cross_i = cross_i
+        self.rns_axis = rns_axis
         # Optional per-shard Pallas twiddle planes (local transforms run
         # the fused kernels instead of the XLA butterfly): stacked
         # [2, S, ...] arrays sharded over the coef axis.
@@ -105,11 +112,21 @@ def _cross_scalars(bank: np.ndarray, S: int) -> np.ndarray:
 
 
 def make_coef_plan(ntt_ctx, mesh: Mesh, axis: str = "coef",
-                   level: int = 0, mult_type: int = -2) -> CoefShardPlan:
-    """Build a coefficient-sharding plan from an NttContext's master banks."""
-    S = int(np.prod([mesh.shape[a] for a in (axis,)]))
+                   level: int = 0, mult_type: int = -2,
+                   rns_axis: str = None) -> CoefShardPlan:
+    """Build a coefficient-sharding plan from an NttContext's master banks.
+
+    rns_axis: name of a second mesh axis to shard the channel dimension
+    over (2-D layout); the channel count must divide evenly (engine-level
+    packs pad channels to mesh multiples — liberate_tpu.parallel.sharding).
+    """
+    S = int(mesh.shape[axis])
     pack = ntt_ctx.level_pack(level, mult_type)
     start, stop = ntt_ctx.channel_range(level, mult_type)
+    if rns_axis is not None and (stop - start) % mesh.shape[rns_axis]:
+        raise ValueError(
+            f"channel count {stop - start} not divisible by mesh axis "
+            f"'{rns_axis}' ({mesh.shape[rns_axis]}); pad channels first")
     psi = ntt_ctx._psi_mont[:, start:stop]    # numpy [2, C, N]
     ipsi = ntt_ctx._ipsi_mont[:, start:stop]
     logN = ntt_ctx.logN
@@ -151,7 +168,8 @@ def make_coef_plan(ntt_ctx, mesh: Mesh, axis: str = "coef",
                              (arr >> np.uint64(32)).astype(np.uint32)])
 
         def put(x):
-            spec = P(None, axis, *([None] * (x.ndim - 2)))
+            # [2, S, C, ...]: S over the coef axis, channels over rns.
+            spec = P(None, axis, rns_axis, *([None] * (x.ndim - 3)))
             return jax.device_put(x, NamedSharding(mesh, spec))
 
         q = [ntt_ctx.ctx.q[i] for i in range(start, stop)]
@@ -165,18 +183,29 @@ def make_coef_plan(ntt_ctx, mesh: Mesh, axis: str = "coef",
         consts[4] = np.array([(2 * qi) & 0xFFFFFFFF for qi in q],
                              dtype=np.uint64)
         consts[5] = np.array([(2 * qi) >> 32 for qi in q], dtype=np.uint64)
-        pl = dict(pl_logL=logL, pl_consts=jnp.asarray(consts),
+        pl = dict(pl_logL=logL,
+                  pl_consts=jax.device_put(
+                      consts, NamedSharding(mesh, P(None, rns_axis))),
                   pl_row_tw=put(pack_u64(rf)), pl_lane_tw=put(pack_u64(lf)),
                   pl_row_itw=put(pack_u64(ri)), pl_lane_itw=put(pack_u64(li)))
 
-    sh_coef = NamedSharding(mesh, P(None, None, axis))
+    sh_coef = NamedSharding(mesh, P(None, rns_axis, axis))
+    cpack = pack._replace(psi=None, ipsi=None, pallas=None, mxu=None)
+    if rns_axis is not None:
+        cpack = jax.tree.map(
+            lambda x: jax.device_put(
+                np.asarray(x),
+                NamedSharding(mesh, P(*([None] * (x.ndim - 1)), rns_axis))),
+            cpack)
     return CoefShardPlan(
-        mesh, axis, S, logN,
-        pack._replace(psi=None, ipsi=None, pallas=None),
+        mesh, axis, S, logN, cpack,
         jax.device_put(psi_l, sh_coef),
         jax.device_put(ipsi_l, sh_coef),
-        jnp.asarray(_cross_scalars(psi, S)),
-        jnp.asarray(_cross_scalars(ipsi, S)),
+        jax.device_put(_cross_scalars(psi, S),
+                       NamedSharding(mesh, P(None, None, rns_axis, axis))),
+        jax.device_put(_cross_scalars(ipsi, S),
+                       NamedSharding(mesh, P(None, None, rns_axis, axis))),
+        rns_axis=rns_axis,
         **pl,
     )
 
@@ -224,16 +253,22 @@ def _cs(v, q2):
     return u64.select(over, u64.sub(v, q2), v)
 
 
-def _local_pallas_plan(plan, row_tw, lane_tw):
+def _local_pallas_plan(logL, consts, row_tw, lane_tw):
     """Rebuild a local PallasPlan inside shard_map from this shard's
     stacked-plane slices (the inverse kernel runs no_norm, so the aux
     rows of consts are unused — base consts serve all three slots)."""
     from ..ntt import pallas_ntt
 
-    c = plan.pl_consts
-    return pallas_ntt.PallasPlan(plan.pl_logL, c, c, c,
+    return pallas_ntt.PallasPlan(logL, consts, consts, consts,
                                  row_tw[:, 0], lane_tw[:, 0],
                                  row_tw[:, 0], lane_tw[:, 0])
+
+
+def _pack_specs(cpack, rns):
+    """PartitionSpec tree for a channel-constants LevelPack: the channel
+    dimension is always the LAST axis of every leaf."""
+    return jax.tree.map(
+        lambda x: P(*([None] * (x.ndim - 1)), rns), cpack)
 
 
 def ntt_coef_sharded(a, plan: CoefShardPlan):
@@ -241,31 +276,35 @@ def ntt_coef_sharded(a, plan: CoefShardPlan):
 
     Bit-exact vs ops.ntt (natural order in, bit-reversed out). The local
     length-L stages run the fused Pallas kernels when the plan carries
-    per-shard twiddle planes (make_coef_plan on a TPU backend)."""
+    per-shard twiddle planes (make_coef_plan on a TPU backend). With
+    plan.rns_axis set, channels are additionally sharded (2-D layout)."""
     S, k, axis = plan.S, plan.S.bit_length() - 1, plan.axis
+    rns = plan.rns_axis
+    cpack = plan.pack
 
     if plan.pl_row_tw is not None:
         from .. import config
         from ..ntt import pallas_ntt
 
-        def fnp(x, cross_f, row_tw, lane_tw):
-            pack = plan.pack
+        def fnp(x, pack, consts, cross_f, row_tw, lane_tw):
             for s in range(k):
                 x = _cross_fwd(x, cross_f[:, s, :, 0], pack, axis, S, s, k)
-            lp = _local_pallas_plan(plan, row_tw, lane_tw)
+            lp = _local_pallas_plan(plan.pl_logL, consts, row_tw, lane_tw)
             return pallas_ntt.ntt(x, lp,
                                   interpret=config.pallas_interpret)
 
         return jax.shard_map(
             fnp, mesh=plan.mesh,
-            in_specs=(P(None, None, axis), P(None, None, None, axis),
-                      P(None, axis, None, None, None),
-                      P(None, axis, None, None)),
-            out_specs=P(None, None, axis), check_vma=False,
-        )(a, plan.cross_f, plan.pl_row_tw, plan.pl_lane_tw)
+            in_specs=(P(None, rns, axis), _pack_specs(cpack, rns),
+                      P(None, rns),
+                      P(None, None, rns, axis),
+                      P(None, axis, rns, None, None),
+                      P(None, axis, rns, None)),
+            out_specs=P(None, rns, axis), check_vma=False,
+        )(a, cpack, plan.pl_consts, plan.cross_f,
+          plan.pl_row_tw, plan.pl_lane_tw)
 
-    def fn(x, psi_l, cross_f):
-        pack = plan.pack
+    def fn(x, pack, psi_l, cross_f):
         for s in range(k):
             scal = cross_f[:, s, :, 0]                   # [2, C] local block
             x = _cross_fwd(x, scal, pack, axis, S, s, k)
@@ -274,15 +313,17 @@ def ntt_coef_sharded(a, plan: CoefShardPlan):
 
     shard = jax.shard_map(
         fn, mesh=plan.mesh,
-        in_specs=(P(None, None, axis), P(None, None, axis),
-                  P(None, None, None, axis)),
-        out_specs=P(None, None, axis))
-    return shard(a, plan.psi_l, plan.cross_f)
+        in_specs=(P(None, rns, axis), _pack_specs(cpack, rns),
+                  P(None, rns, axis), P(None, None, rns, axis)),
+        out_specs=P(None, rns, axis))
+    return shard(a, cpack, plan.psi_l, plan.cross_f)
 
 
 def intt_coef_sharded(a, plan: CoefShardPlan):
     """Inverse NTT with N^{-1} normalization, coefficient-sharded."""
     S, k, axis = plan.S, plan.S.bit_length() - 1, plan.axis
+    rns = plan.rns_axis
+    cpack = plan.pack
 
     def _norm(x, pack):
         b = pack.Ninv[:, :, None]
@@ -295,9 +336,8 @@ def intt_coef_sharded(a, plan: CoefShardPlan):
         from .. import config
         from ..ntt import pallas_ntt
 
-        def fnp(x, cross_i, row_itw, lane_itw):
-            pack = plan.pack
-            lp = _local_pallas_plan(plan, row_itw, lane_itw)
+        def fnp(x, pack, consts, cross_i, row_itw, lane_itw):
+            lp = _local_pallas_plan(plan.pl_logL, consts, row_itw, lane_itw)
             x = pallas_ntt.intt(x, lp, no_norm=True,
                                 interpret=config.pallas_interpret)
             for s in reversed(range(k)):
@@ -306,14 +346,16 @@ def intt_coef_sharded(a, plan: CoefShardPlan):
 
         return jax.shard_map(
             fnp, mesh=plan.mesh,
-            in_specs=(P(None, None, axis), P(None, None, None, axis),
-                      P(None, axis, None, None, None),
-                      P(None, axis, None, None)),
-            out_specs=P(None, None, axis), check_vma=False,
-        )(a, plan.cross_i, plan.pl_row_itw, plan.pl_lane_itw)
+            in_specs=(P(None, rns, axis), _pack_specs(cpack, rns),
+                      P(None, rns),
+                      P(None, None, rns, axis),
+                      P(None, axis, rns, None, None),
+                      P(None, axis, rns, None)),
+            out_specs=P(None, rns, axis), check_vma=False,
+        )(a, cpack, plan.pl_consts, plan.cross_i,
+          plan.pl_row_itw, plan.pl_lane_itw)
 
-    def fn(x, ipsi_l, cross_i):
-        pack = plan.pack
+    def fn(x, pack, ipsi_l, cross_i):
         local_pack = pack._replace(psi=ipsi_l, ipsi=ipsi_l)
         x = ops.intt_no_norm(x, local_pack)
         for s in reversed(range(k)):
@@ -323,7 +365,7 @@ def intt_coef_sharded(a, plan: CoefShardPlan):
 
     shard = jax.shard_map(
         fn, mesh=plan.mesh,
-        in_specs=(P(None, None, axis), P(None, None, axis),
-                  P(None, None, None, axis)),
-        out_specs=P(None, None, axis))
-    return shard(a, plan.ipsi_l, plan.cross_i)
+        in_specs=(P(None, rns, axis), _pack_specs(cpack, rns),
+                  P(None, rns, axis), P(None, None, rns, axis)),
+        out_specs=P(None, rns, axis))
+    return shard(a, cpack, plan.ipsi_l, plan.cross_i)

@@ -37,6 +37,18 @@ def make_mesh(num_devices=None, axis_name="rns", devices=None) -> Mesh:
     return Mesh(np.array(devices), (axis_name,))
 
 
+def make_mesh2d(n_rns: int, n_coef: int, rns_axis="rns", coef_axis="coef",
+                devices=None) -> Mesh:
+    """A 2-D ('rns', 'coef') mesh: channels over one axis, coefficients
+    over the other (see liberate_tpu.parallel.coef_shard). The coef axis
+    is the minor (fastest-varying) one so a shard's cross-stage ppermute
+    partners are ICI neighbors."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.array(devices[:n_rns * n_coef]).reshape(n_rns, n_coef)
+    return Mesh(devices, (rns_axis, coef_axis))
+
+
 def rns_sharding(mesh: Mesh, axis_name="rns") -> NamedSharding:
     """Sharding for a packed poly [2, C, N]: channels over the mesh."""
     return NamedSharding(mesh, P(None, axis_name, None))

@@ -96,6 +96,58 @@ def test_coef_sharded_bit_exact_logN13(logN, S):
     assert _eq(intt_coef_sharded(f_sharded, plan), ops.intt(f_want, pack))
 
 
+def _setup_2d(logN, n_rns, n_coef, pallas=False):
+    from liberate_tpu.parallel import make_mesh2d
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ctx = CkksContext(logN=logN, scale_bits=30, num_scales=3,
+                      num_special_primes=2, is_secured=False)
+    nc = NttContext(ctx)
+    mesh = make_mesh2d(n_rns, n_coef)
+    plan = make_coef_plan(nc, mesh, rns_axis="rns")
+    if pallas:
+        assert plan.pl_row_tw is not None
+    pack = nc.level_pack(0, -2)
+    C = nc.num_channels(0, -2)
+    assert C % n_rns == 0, f"test shape needs C % n_rns == 0 (C={C})"
+    rng = np.random.default_rng(logN * 1000 + n_rns * 10 + n_coef)
+    qs = np.array(ctx.q, dtype=np.uint64)
+    a_int = (rng.integers(0, 2 ** 62, size=(C, ctx.N), dtype=np.uint64)
+             % qs[:, None]).astype(np.int64)
+    a = jnp.asarray(u64.from_int64_np(a_int))
+    sh = NamedSharding(mesh, P(None, "rns", "coef"))
+    return pack, plan, a, jax.device_put(a, sh), sh
+
+
+def test_coef_sharded_2d_mesh_bit_exact():
+    """2-D ('rns','coef') layout: channels AND coefficients sharded at
+    once (SURVEY 7 design dimension). Bit-exact vs the single-chip path
+    on a (2, 4) virtual mesh."""
+    pack, plan, a, a_sh, sh = _setup_2d(10, 2, 4)
+    f_want = ops.ntt(a, pack)
+    assert _eq(ntt_coef_sharded(a_sh, plan), f_want)
+    f_sh = jax.device_put(f_want, sh)
+    assert _eq(intt_coef_sharded(f_sh, plan), ops.intt(f_want, pack))
+
+
+def test_coef_sharded_2d_mesh_pallas_bit_exact():
+    """2-D layout with the local stages on the fused Pallas kernels
+    (interpret mode): logN=11 on (2 rns, 4 coef) -> logL=9 locals."""
+    from liberate_tpu import config
+
+    config.use_pallas = True
+    config.pallas_interpret = True
+    try:
+        pack, plan, a, a_sh, sh = _setup_2d(11, 2, 4, pallas=True)
+        f_want = ops.ntt(a, pack)
+        assert _eq(ntt_coef_sharded(a_sh, plan), f_want)
+        f_sh = jax.device_put(f_want, sh)
+        assert _eq(intt_coef_sharded(f_sh, plan), ops.intt(f_want, pack))
+    finally:
+        config.use_pallas = None
+        config.pallas_interpret = False
+
+
 def test_coef_sharded_pallas_local_bit_exact():
     """Local stages through the fused Pallas kernels (interpret): same
     bits as the XLA local path and the single-chip oracle (logN=10 on 4
