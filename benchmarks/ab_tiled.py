@@ -1,0 +1,81 @@
+"""On-device A/B of the tiled-pointwise config flags (one config per run).
+
+Usage: python benchmarks/ab_tiled.py <config>
+  config in {base, moddown, rescale, extend, all}
+
+Runs the silver (logN=15) mult+relin+rescale headline under the chosen
+flag set and prints one JSON line with the honest (execution-synced,
+length-differenced) seconds/mult plus the decrypt error of the
+homomorphically accumulated result, so a wrong fast path fails loudly.
+
+Each config runs in its OWN process: the flags are read at trace time
+and the engine caches jitted programs, so in-process flag flips could
+reuse stale traces. The persistent XLA compile cache makes repeat runs
+cheap.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+from liberate_tpu import config  # noqa: E402
+
+CONFIGS = {
+    "base": {},
+    "moddown": {"use_tiled_moddown": True},
+    "rescale": {"use_tiled_rescale": True},
+    "extend": {"use_tiled_extend": True},
+    "all": {"use_tiled_moddown": True, "use_tiled_rescale": True,
+            "use_tiled_extend": True},
+    # MXU matmul NTT backend (exclusive of the Pallas kernels; the
+    # composed XLA switch runs around it). Tiled flags complement it.
+    "mxu": {"use_mxu_ntt": True},
+    "mxu_all": {"use_mxu_ntt": True, "use_tiled_moddown": True,
+                "use_tiled_rescale": True, "use_tiled_extend": True},
+}
+
+
+def main():
+    name = sys.argv[1] if len(sys.argv) > 1 else "base"
+    for k, v in CONFIGS[name].items():
+        setattr(config, k, v)
+
+    import liberate_tpu
+    from liberate_tpu.utils import benchtime
+
+    eng = liberate_tpu.CkksEngine(seed=1, logN=15, scale_bits=40,
+                                  num_special_primes=2)
+    sk = eng.create_secret_key()
+    pk = eng.create_public_key(sk)
+    evk = eng.create_evk(sk)
+    m1 = eng.example(amin=-1, amax=1)
+    m2 = eng.example(amin=-1, amax=1)
+    cts = [eng.encorypt(m1, pk), eng.encorypt(m2, pk)]
+
+    state = {}
+
+    def chain(K):
+        acc = None
+        for i in range(K):
+            o = eng.mult(cts[0], cts[1], evk)
+            acc = o if acc is None else eng.add(acc, o)
+        state["acc"], state["K"] = acc, K
+        return acc.data
+
+    benchtime.sync(chain(1))
+    iters = 10
+    best = benchtime.diff_time(chain, max(1, iters // 4), iters, trials=2)
+    err = abs(eng.absmax_error(eng.decrode(state["acc"], sk),
+                               m1 * m2 * state["K"]))
+    err = float(err.real) if hasattr(err, "real") else float(err)
+    assert err < 1e-3, f"A/B config {name}: wrong result, err {err}"
+    print(json.dumps({"metric": f"silver_mult_tiled_ab_{name}",
+                      "value": round(best * 1000, 3), "unit": "ms",
+                      "absmax_error": err}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,20 @@ use_fused_switch = True
 # root cause open.
 use_fused_moddown = False
 
+# MXU (matmul) NTT backend: the transform as int8 einsums on the
+# systolic array (liberate_tpu.ntt.mxu_ntt) instead of VPU butterflies.
+# O(N sqrt N) int8 MACs at ~394 TOPS replace the O(N log N) emulated
+# 62-bit Montgomery multiplies (~60 VPU ops each); the VPU keeps one
+# twiddle multiply + two digit recombinations per element. Output is
+# NATURAL order (the classic kernels are bit-reversed) — valid because
+# the engine only uses the NTT domain pointwise and permutes in the
+# coefficient domain, but one engine instance must use ONE backend
+# throughout (multiparty peers must agree). Bit-exactness is by
+# pointwise-domain equivalence (tests/test_mxu.py, test_engine
+# mxu-backend smoke). OFF pending the on-device A/B vs the fused Pallas
+# kernels.
+use_mxu_ntt = False
+
 # Tiled (4-D view) basis extension: pre_extend/extend computed on the
 # [C, N/128, 128] pair view — the divided-difference rows are
 # single-channel [2, 1, N] arrays that XLA otherwise tiles T(1,128)

@@ -246,6 +246,56 @@ def plan_from_dict(d, ql, qh, kl, kh, q2):
     return MxuPlan(ql=ql, qh=qh, kl=kl, kh=kh, q2=q2, **d)
 
 
+# Fields whose channel axis is axis 1 (packed [2, C, ...]); the rest put
+# channels first ([C, ...] / [C]).
+_C_AXIS1 = frozenset({"tw", "itw", "c_lo", "c_hi", "q2"})
+
+
+def take_channels(plan: MxuPlan, idx):
+    """Restrict a (master) plan to a channel index list.
+
+    ``idx`` is static (a tuple), so inside jit this traces to gathers of
+    full channel rows from the ONE master table set — per-level packs
+    share the master's device storage instead of materializing per-level
+    copies (the m1/i2 tables are ~4 MB per channel at logN=15).
+    """
+    idx = jnp.asarray(np.asarray(idx, dtype=np.int32))
+    kw = {}
+    for f in _ARRAY_FIELDS:
+        x = getattr(plan, f)
+        kw[f] = jnp.take(x, idx, axis=1 if f in _C_AXIS1 else 0)
+    return MxuPlan(plan.R, plan.S, plan.dA, plan.dB, plan.split, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class MxuRef:
+    """A channel-restricted VIEW of the master plan, for LevelPacks.
+
+    Holds the master plan plus a static channel index tuple; ``resolve``
+    traces to gathers inside jit, so every level pack shares the one
+    master table set on device (take_channels eagerly would copy ~10 MB
+    per channel per level).
+    """
+    plan: MxuPlan
+    idx: tuple
+
+    def resolve(self) -> MxuPlan:
+        if tuple(self.idx) == tuple(range(self.plan.ql.shape[0])):
+            return self.plan
+        return take_channels(self.plan, self.idx)
+
+    def tree_flatten(self):
+        return ((self.plan,), (tuple(self.idx),))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
+
+
+jax.tree_util.register_pytree_node(
+    MxuRef, lambda r: r.tree_flatten(), MxuRef.tree_unflatten)
+
+
 def _digits_s8(lo, hi, dB):
     """Packed u32 pair [.., C, X, Y] -> offset s8 digits [.., C, dB, X, Y].
 

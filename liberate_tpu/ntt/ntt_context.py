@@ -42,6 +42,9 @@ class LevelPack(NamedTuple):
     # Presence/absence is part of the pytree structure, so jit dispatch
     # between the two backends is a trace-time decision.
     pallas: Optional[object] = None
+    # MXU (matmul) NTT backend: a channel-restricted view of the ONE
+    # master MxuPlan (see config.use_mxu_ntt); None -> pallas/XLA path.
+    mxu: Optional[object] = None
 
 
 class PartPlan(NamedTuple):
@@ -97,6 +100,7 @@ class NttContext:
         self._build_master_tables()
         self._level_packs = {}
         self._part_plans = {}
+        self._mxu_master = None
 
         # Per-level channel-slice starts (into level-0 key layout).
         self.starts = list(range(self.num_levels))
@@ -194,14 +198,18 @@ class NttContext:
         place = self._place if sharded else jnp.asarray
         psi = ipsi = None
         pallas_plan = None
+        mxu_ref = None
         if with_psi:
             # Full bit-reverse-ordered banks [2, C, N]; stage s addresses
             # entries [2^s : 2^{s+1}) via the shared index banks in ops.
             psi = place(self._psi_mont[:, idx, :])
             ipsi = place(self._ipsi_mont[:, idx, :])
-            pallas_plan = self._maybe_pallas_plan(idx, sharded=sharded)
+            mxu_ref = self._maybe_mxu_ref(idx)
+            if mxu_ref is None:
+                pallas_plan = self._maybe_pallas_plan(idx, sharded=sharded)
         return LevelPack(
             pallas=pallas_plan,
+            mxu=mxu_ref,
             ql=place(self._ql[idx]),
             qh=place(self._qh[idx]),
             kl=place(self._kl[idx]),
@@ -223,6 +231,41 @@ class NttContext:
                 pad_to=self.padded_channels(level, mult_type),
                 sharded=True)
         return self._level_packs[key]
+
+    def _maybe_mxu_ref(self, idx):
+        """A channel-restricted view of the master MXU plan, when the
+        matmul backend is selected (config.use_mxu_ntt).
+
+        The master is built ONCE over all channels; packs carry MxuRef
+        views (static index tuples) so device storage is shared. The MXU
+        transform's natural-order domain replaces the bit-reversed one
+        engine-wide: every with_psi pack (level packs and key-switching
+        part packs) routes through it, so the engine never mixes domains
+        (see liberate_tpu.config.use_mxu_ntt)."""
+        from .. import config
+
+        if not config.use_mxu_ntt:
+            return None
+        if self.mesh is not None or self.channel_quantum > 1:
+            return None        # mesh path: Pallas/shard_map (round-3 item)
+        from . import mxu_ntt
+
+        if self._mxu_master is None:
+            from ..fhe.context.ckks_context import primitive_root_2N
+
+            ctx = self.ctx
+            qs = list(ctx.q)
+            psis = [primitive_root_2N(q, ctx.N) for q in qs]
+            ipsis = [pow(p, -1, q) for p, q in zip(psis, qs)]
+            Rms = [ctx.R % q for q in qs]
+            Ninvs = [pow(ctx.N, -1, q) for q in qs]
+            d = mxu_ntt.make_plan(ctx.logN, qs, Rms, psis, ipsis, Ninvs,
+                                  word_bits=ctx.buffer_bit_length)
+            self._mxu_master = mxu_ntt.plan_from_dict(
+                d, jnp.asarray(self._ql), jnp.asarray(self._qh),
+                jnp.asarray(self._kl), jnp.asarray(self._kh),
+                jnp.asarray(self._q2))
+        return mxu_ntt.MxuRef(self._mxu_master, tuple(int(i) for i in idx))
 
     def _maybe_pallas_plan(self, idx, sharded=False):
         """A pallas_ntt plan for this channel set, when the Pallas backend

@@ -123,6 +123,7 @@ def pack_slice(pack, start, stop, with_psi=False):
         ipsi = pack.ipsi[:, start:stop]
     return pack._replace(
         pallas=None,
+        mxu=None,
         ql=pack.ql[start:stop], qh=pack.qh[start:stop],
         kl=pack.kl[start:stop], kh=pack.kh[start:stop],
         q2=pack.q2[:, start:stop], Rs=pack.Rs[:, start:stop],
@@ -288,8 +289,16 @@ def ntt(a, pack, signed=False):
     (reference: ckks_engine.py:917-920); the lazy [0, 2q) fast path assumes
     non-negative inputs < 2^62.
 
-    Dispatches to the fused Pallas TPU kernel when the pack carries a plan.
+    Dispatches to the fused Pallas TPU kernel when the pack carries a plan,
+    or to the MXU matmul backend (natural-order domain) when it carries an
+    MxuRef — see liberate_tpu.config.use_mxu_ntt.
     """
+    if pack.mxu is not None:
+        from . import mxu_ntt
+
+        if signed:
+            a = make_unsigned(a, pack)
+        return mxu_ntt.ntt(a, pack.mxu.resolve())
     if pack.pallas is not None:
         from .. import config
         from . import pallas_ntt
@@ -351,6 +360,14 @@ def intt_no_norm(a, pack, signed=False):
 
 def intt(a, pack, signed=False):
     """Inverse NTT with N^{-1} normalization (Ninv = N^{-1}*R mod q)."""
+    if pack.mxu is not None:
+        from . import mxu_ntt
+
+        if signed:
+            a = make_unsigned(a, pack)
+        # N^{-1} is folded into the MXU stage-2 table (plain, which equals
+        # the classic path's Montgomery Ninv multiply after REDC).
+        return mxu_ntt.intt_no_norm_factor(a, pack.mxu.resolve())
     if pack.pallas is not None:
         from .. import config
         from . import pallas_ntt
@@ -366,6 +383,8 @@ def intt(a, pack, signed=False):
 
 
 def enter_ntt(a, pack):
+    if pack.mxu is not None:
+        return ntt(mont_enter(a, pack), pack)
     if pack.pallas is not None:
         from .. import config
         from . import pallas_ntt
@@ -376,6 +395,9 @@ def enter_ntt(a, pack):
 
 
 def intt_exit(a, pack, signed=False):
+    if pack.mxu is not None:
+        r = intt(a, pack, signed=signed)
+        return mont_redc(r, pack)
     if pack.pallas is not None:
         from .. import config
         from . import pallas_ntt
@@ -388,6 +410,8 @@ def intt_exit(a, pack, signed=False):
 
 
 def intt_exit_reduce(a, pack, signed=False):
+    if pack.mxu is not None:
+        return reduce_2q(intt_exit(a, pack, signed=signed), pack)
     if pack.pallas is not None:
         from .. import config
         from . import pallas_ntt

@@ -120,6 +120,39 @@ def test_negacyclic_convolution_matches_golden(setup):
     assert np.array_equal(got, want)
 
 
+def test_engine_mxu_backend_end_to_end():
+    """The whole scheme through the MXU (matmul) NTT backend
+    (config.use_mxu_ntt): keygen, enc/dec, mult+relin+rescale, rotation.
+    The natural-order NTT domain replaces the bit-reversed one engine-wide
+    (all ops.ntt/intt call sites dispatch on pack.mxu), so correctness at
+    scheme tolerances is the right equivalence check — outputs cannot be
+    bit-compared to the butterfly backend."""
+    from liberate_tpu import config
+    from liberate_tpu.fhe.engine import CkksEngine
+
+    config.use_mxu_ntt = True
+    try:
+        eng = CkksEngine(logN=8, scale_bits=30, num_scales=3,
+                         num_special_primes=2, is_secured=False, seed=23)
+        assert eng.ntt.level_pack(0, -2).mxu is not None
+        sk = eng.create_secret_key()
+        pk = eng.create_public_key(sk)
+        evk = eng.create_evk(sk)
+        m1 = np.full(eng.num_slots, 0.5 + 0.25j)
+        m2 = np.full(eng.num_slots, -0.75 + 0.125j)
+        c1 = eng.encorypt(m1, pk)
+        c2 = eng.encorypt(m2, pk)
+        assert abs(eng.absmax_error(eng.decrode(c1, sk), m1)) < 1e-6
+        prod = eng.mult(c1, c2, evk)
+        assert abs(eng.absmax_error(eng.decrode(prod, sk), m1 * m2)) < 1e-5
+        gk = eng.create_galois_key(sk)
+        rot = eng.rotate_galois(c1, gk, 3)
+        assert abs(eng.absmax_error(eng.decrode(rot, sk),
+                                    np.roll(m1, 3))) < 1e-5
+    finally:
+        config.use_mxu_ntt = False
+
+
 def test_30bit_word_mode_roundtrip():
     """dB=dA=4 digit path (single recombination montmul per element)."""
     ctx = CkksContext(logN=6, scale_bits=26, buffer_bit_length=30,
