@@ -214,8 +214,16 @@ def _xor_perm(S, d):
     return [(j, j ^ d) for j in range(S)]
 
 
+def _q2_bc(pack, x):
+    """pack.q2 broadcast against [2, .., C, N]-shaped data pairs."""
+    sh = (1,) * (x.ndim - 3) + (-1, 1)
+    return (pack.q2[0].reshape(sh), pack.q2[1].reshape(sh))
+
+
 def _cross_fwd(x, scal, pack, axis, S, s, k):
-    """One cross-shard Cooley-Tukey stage inside shard_map."""
+    """One cross-shard Cooley-Tukey stage inside shard_map.
+
+    x: [2, .., C, L] (any batch dims between); scal: [2, C]."""
     d = 1 << (k - 1 - s)
     i = jax.lax.axis_index(axis)
     is_U = ((i & d) == 0)
@@ -223,7 +231,7 @@ def _cross_fwd(x, scal, pack, axis, S, s, k):
     U = jnp.where(is_U, x, other)
     O = jnp.where(is_U, other, x)
     V = ops.mont_enter_scalar(O, scal, pack)
-    q2 = (pack.q2[0][:, None], pack.q2[1][:, None])
+    q2 = _q2_bc(pack, x)
     even = _cs(u64.add((U[0], U[1]), (V[0], V[1])), q2)
     odd = _cs(u64.sub(u64.add((U[0], U[1]), q2), (V[0], V[1])), q2)
     lo = jnp.where(is_U, even[0], odd[0])
@@ -239,7 +247,7 @@ def _cross_inv(x, scal, pack, axis, S, s, k):
     other = jax.lax.ppermute(x, axis, _xor_perm(S, d))
     U = jnp.where(is_U, x, other)
     V = jnp.where(is_U, other, x)
-    q2 = (pack.q2[0][:, None], pack.q2[1][:, None])
+    q2 = _q2_bc(pack, x)
     s_add = _cs(u64.add((U[0], U[1]), (V[0], V[1])), q2)
     diff = _cs(u64.sub(u64.add((U[0], U[1]), q2), (V[0], V[1])), q2)
     W = ops.mont_enter_scalar(u64.pack(*diff), scal, pack)
@@ -271,22 +279,34 @@ def _pack_specs(cpack, rns):
         lambda x: P(*([None] * (x.ndim - 1)), rns), cpack)
 
 
-def ntt_coef_sharded(a, plan: CoefShardPlan):
-    """Forward negacyclic NTT of [2, C, N] with N sharded over the mesh.
+def _dspec(a, rns, axis):
+    """PartitionSpec of packed data [2, .., C, N]: channels over rns (if
+    2-D), coefficients over the coef axis, batch dims replicated."""
+    return P(None, *([None] * (a.ndim - 3)), rns, axis)
 
-    Bit-exact vs ops.ntt (natural order in, bit-reversed out). The local
-    length-L stages run the fused Pallas kernels when the plan carries
-    per-shard twiddle planes (make_coef_plan on a TPU backend). With
-    plan.rns_axis set, channels are additionally sharded (2-D layout)."""
+
+def ntt_coef_sharded(a, plan: CoefShardPlan, pre_enter=False):
+    """Forward negacyclic NTT of [2, .., C, N] with N sharded over the mesh.
+
+    Bit-exact vs ops.ntt / ops.enter_ntt (natural order in, bit-reversed
+    out); batch dims (e.g. the key switcher's [2, P, C, N] part stacks)
+    pass through. The local length-L stages run the fused Pallas kernels
+    when the plan carries per-shard twiddle planes (make_coef_plan on a
+    TPU backend). With plan.rns_axis set, channels are additionally
+    sharded (2-D layout). pre_enter fuses the Montgomery entry
+    (ops.enter_ntt) into the sharded program."""
     S, k, axis = plan.S, plan.S.bit_length() - 1, plan.axis
     rns = plan.rns_axis
     cpack = plan.pack
+    dspec = _dspec(a, rns, axis)
 
     if plan.pl_row_tw is not None:
         from .. import config
         from ..ntt import pallas_ntt
 
         def fnp(x, pack, consts, cross_f, row_tw, lane_tw):
+            if pre_enter:
+                x = ops.mont_enter(x, pack)
             for s in range(k):
                 x = _cross_fwd(x, cross_f[:, s, :, 0], pack, axis, S, s, k)
             lp = _local_pallas_plan(plan.pl_logL, consts, row_tw, lane_tw)
@@ -295,16 +315,18 @@ def ntt_coef_sharded(a, plan: CoefShardPlan):
 
         return jax.shard_map(
             fnp, mesh=plan.mesh,
-            in_specs=(P(None, rns, axis), _pack_specs(cpack, rns),
+            in_specs=(dspec, _pack_specs(cpack, rns),
                       P(None, rns),
                       P(None, None, rns, axis),
                       P(None, axis, rns, None, None),
                       P(None, axis, rns, None)),
-            out_specs=P(None, rns, axis), check_vma=False,
+            out_specs=dspec, check_vma=False,
         )(a, cpack, plan.pl_consts, plan.cross_f,
           plan.pl_row_tw, plan.pl_lane_tw)
 
     def fn(x, pack, psi_l, cross_f):
+        if pre_enter:
+            x = ops.mont_enter(x, pack)
         for s in range(k):
             scal = cross_f[:, s, :, 0]                   # [2, C] local block
             x = _cross_fwd(x, scal, pack, axis, S, s, k)
@@ -313,24 +335,31 @@ def ntt_coef_sharded(a, plan: CoefShardPlan):
 
     shard = jax.shard_map(
         fn, mesh=plan.mesh,
-        in_specs=(P(None, rns, axis), _pack_specs(cpack, rns),
+        in_specs=(dspec, _pack_specs(cpack, rns),
                   P(None, rns, axis), P(None, None, rns, axis)),
-        out_specs=P(None, rns, axis))
+        out_specs=dspec)
     return shard(a, cpack, plan.psi_l, plan.cross_f)
 
 
-def intt_coef_sharded(a, plan: CoefShardPlan):
-    """Inverse NTT with N^{-1} normalization, coefficient-sharded."""
+def intt_coef_sharded(a, plan: CoefShardPlan, post_exit=False,
+                      post_reduce=False):
+    """Inverse NTT with N^{-1} normalization, coefficient-sharded.
+
+    post_exit / post_reduce fuse the Montgomery exit (REDC) and the
+    [0,2q)->[0,q) reduction into the sharded program — the op chain of
+    ops.intt_exit / ops.intt_exit_reduce, bit-exactly."""
     S, k, axis = plan.S, plan.S.bit_length() - 1, plan.axis
     rns = plan.rns_axis
     cpack = plan.pack
+    dspec = _dspec(a, rns, axis)
 
-    def _norm(x, pack):
-        b = pack.Ninv[:, :, None]
-        return u64.pack(*u64.montmul(
-            (x[0], x[1]), (b[0], b[1]),
-            pack.ql[:, None], pack.qh[:, None],
-            pack.kl[:, None], pack.kh[:, None]))
+    def _post(x, pack):
+        x = ops.mont_enter_scalar(x, pack.Ninv, pack)
+        if post_exit:
+            x = ops.mont_redc(x, pack)
+        if post_reduce:
+            x = ops.reduce_2q(x, pack)
+        return x
 
     if plan.pl_row_itw is not None:
         from .. import config
@@ -342,16 +371,16 @@ def intt_coef_sharded(a, plan: CoefShardPlan):
                                 interpret=config.pallas_interpret)
             for s in reversed(range(k)):
                 x = _cross_inv(x, cross_i[:, s, :, 0], pack, axis, S, s, k)
-            return _norm(x, pack)
+            return _post(x, pack)
 
         return jax.shard_map(
             fnp, mesh=plan.mesh,
-            in_specs=(P(None, rns, axis), _pack_specs(cpack, rns),
+            in_specs=(dspec, _pack_specs(cpack, rns),
                       P(None, rns),
                       P(None, None, rns, axis),
                       P(None, axis, rns, None, None),
                       P(None, axis, rns, None)),
-            out_specs=P(None, rns, axis), check_vma=False,
+            out_specs=dspec, check_vma=False,
         )(a, cpack, plan.pl_consts, plan.cross_i,
           plan.pl_row_itw, plan.pl_lane_itw)
 
@@ -361,11 +390,11 @@ def intt_coef_sharded(a, plan: CoefShardPlan):
         for s in reversed(range(k)):
             scal = cross_i[:, s, :, 0]
             x = _cross_inv(x, scal, pack, axis, S, s, k)
-        return _norm(x, pack)
+        return _post(x, pack)
 
     shard = jax.shard_map(
         fn, mesh=plan.mesh,
-        in_specs=(P(None, rns, axis), _pack_specs(cpack, rns),
+        in_specs=(dspec, _pack_specs(cpack, rns),
                   P(None, rns, axis), P(None, None, rns, axis)),
-        out_specs=P(None, rns, axis))
+        out_specs=dspec)
     return shard(a, cpack, plan.ipsi_l, plan.cross_i)
