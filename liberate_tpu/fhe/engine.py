@@ -448,8 +448,19 @@ class CkksEngine:
             mesh = make_mesh(n)
         self.mesh = mesh
         self.mesh_axis = "rns"
-        self.channel_quantum = (
-            int(np.prod(mesh.devices.shape)) if mesh is not None else 1)
+        # 2-D ('rns', 'coef') meshes (parallel.make_mesh2d) shard channels
+        # over 'rns' and coefficients over 'coef' — the channel padding
+        # quantum is the rns extent only.
+        self.coef_axis = ("coef" if mesh is not None
+                          and "coef" in mesh.axis_names
+                          and mesh.shape["coef"] > 1 else None)
+        if mesh is None:
+            self.channel_quantum = 1
+        elif self.coef_axis is not None:
+            self.channel_quantum = (int(mesh.shape["rns"])
+                                    if "rns" in mesh.axis_names else 1)
+        else:
+            self.channel_quantum = int(np.prod(mesh.devices.shape))
         self.mesh_shape = mesh_shape
         self.devices = devices
         self.bias_guard = bias_guard
@@ -632,7 +643,9 @@ class CkksEngine:
 
     def _rns_sharding(self, ndim: int):
         from jax.sharding import NamedSharding, PartitionSpec as P
-        spec = P(*([None] * (ndim - 2)), self.mesh_axis, None)
+        ax = (self.mesh_axis
+              if self.mesh_axis in self.mesh.axis_names else None)
+        spec = P(*([None] * (ndim - 2)), ax, self.coef_axis)
         return NamedSharding(self.mesh, spec)
 
     def _shard_ds(self, ds):

@@ -45,6 +45,10 @@ class LevelPack(NamedTuple):
     # MXU (matmul) NTT backend: a channel-restricted view of the ONE
     # master MxuPlan (see config.use_mxu_ntt); None -> pallas/XLA path.
     mxu: Optional[object] = None
+    # Coefficient-sharded transform plan (parallel.coef_shard.CoefShardPlan)
+    # for meshes with a 'coef' axis: ops.ntt/intt dispatch the transform
+    # into shard_map with cross-shard ppermute stages. None -> local N.
+    coef: Optional[object] = None
 
 
 class PartPlan(NamedTuple):
@@ -88,6 +92,14 @@ class NttContext:
         self.channel_quantum = int(channel_quantum)
         self.mesh = mesh
         self.mesh_axis = mesh_axis
+        # 2-D ('rns', 'coef') layout: a mesh axis named 'coef' shards the
+        # COEFFICIENT axis; packs then carry CoefShardPlans and ops.ntt
+        # dispatches into shard_map (parallel.coef_shard). The rns axis
+        # (if present and >1) shards channels as in the 1-D layout.
+        self.coef_axis = None
+        if mesh is not None and "coef" in mesh.axis_names \
+                and mesh.shape["coef"] > 1:
+            self.coef_axis = "coef"
 
         self.num_ordinary_primes = ctx.num_scales + 1
         self.num_special_primes = ctx.num_special_primes
@@ -179,9 +191,11 @@ class NttContext:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        spec = (P(self.mesh_axis) if x.ndim == 1
-                else P(None, self.mesh_axis)
-                if x.ndim == 2 else P(None, self.mesh_axis, None))
+        ax = self.mesh_axis if self.mesh_axis in self.mesh.axis_names \
+            else None
+        spec = (P(ax) if x.ndim == 1
+                else P(None, ax)
+                if x.ndim == 2 else P(None, ax, self.coef_axis))
         return jax.device_put(np.asarray(x), NamedSharding(self.mesh, spec))
 
     def _make_pack(self, idx, with_psi=True, pad_to=None,
@@ -199,17 +213,22 @@ class NttContext:
         psi = ipsi = None
         pallas_plan = None
         mxu_ref = None
+        coef_plan = None
         if with_psi:
             # Full bit-reverse-ordered banks [2, C, N]; stage s addresses
             # entries [2^s : 2^{s+1}) via the shared index banks in ops.
             psi = place(self._psi_mont[:, idx, :])
             ipsi = place(self._ipsi_mont[:, idx, :])
-            mxu_ref = self._maybe_mxu_ref(idx)
-            if mxu_ref is None:
+            if self.coef_axis is not None:
+                coef_plan = self._maybe_coef_plan(idx, sharded=sharded)
+            if coef_plan is None:
+                mxu_ref = self._maybe_mxu_ref(idx)
+            if coef_plan is None and mxu_ref is None:
                 pallas_plan = self._maybe_pallas_plan(idx, sharded=sharded)
         return LevelPack(
             pallas=pallas_plan,
             mxu=mxu_ref,
+            coef=coef_plan,
             ql=place(self._ql[idx]),
             qh=place(self._qh[idx]),
             kl=place(self._kl[idx]),
@@ -231,6 +250,22 @@ class NttContext:
                 pad_to=self.padded_channels(level, mult_type),
                 sharded=True)
         return self._level_packs[key]
+
+    def _maybe_coef_plan(self, idx, sharded=False):
+        """A CoefShardPlan for this channel set on a mesh with a 'coef'
+        axis. Level packs (sharded) also shard channels over the rns axis
+        when it exists and divides; part packs get coef-only plans (their
+        channel slices cross rns shard boundaries, like the Pallas case)."""
+        from ..parallel.coef_shard import make_coef_plan
+
+        idx = np.asarray(idx)
+        rns_ax = None
+        if (sharded and self.mesh_axis in self.mesh.axis_names
+                and self.mesh.shape[self.mesh_axis] > 1
+                and idx.size % self.mesh.shape[self.mesh_axis] == 0):
+            rns_ax = self.mesh_axis
+        return make_coef_plan(self, self.mesh, axis=self.coef_axis,
+                              rns_axis=rns_ax, idx=idx)
 
     def _maybe_mxu_ref(self, idx):
         """A channel-restricted view of the master MXU plan, when the

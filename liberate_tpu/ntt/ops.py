@@ -124,6 +124,7 @@ def pack_slice(pack, start, stop, with_psi=False):
     return pack._replace(
         pallas=None,
         mxu=None,
+        coef=None,
         ql=pack.ql[start:stop], qh=pack.qh[start:stop],
         kl=pack.kl[start:stop], kh=pack.kh[start:stop],
         q2=pack.q2[:, start:stop], Rs=pack.Rs[:, start:stop],
@@ -293,6 +294,12 @@ def ntt(a, pack, signed=False):
     or to the MXU matmul backend (natural-order domain) when it carries an
     MxuRef — see liberate_tpu.config.use_mxu_ntt.
     """
+    if pack.coef is not None:
+        from ..parallel import coef_shard
+
+        if signed:
+            a = make_unsigned(a, pack)
+        return coef_shard.ntt_coef_sharded(a, pack.coef)
     if pack.mxu is not None:
         from . import mxu_ntt
 
@@ -360,6 +367,12 @@ def intt_no_norm(a, pack, signed=False):
 
 def intt(a, pack, signed=False):
     """Inverse NTT with N^{-1} normalization (Ninv = N^{-1}*R mod q)."""
+    if pack.coef is not None:
+        from ..parallel import coef_shard
+
+        if signed:
+            a = make_unsigned(a, pack)
+        return coef_shard.intt_coef_sharded(a, pack.coef)
     if pack.mxu is not None:
         from . import mxu_ntt
 
@@ -383,6 +396,10 @@ def intt(a, pack, signed=False):
 
 
 def enter_ntt(a, pack):
+    if pack.coef is not None:
+        from ..parallel import coef_shard
+
+        return coef_shard.ntt_coef_sharded(a, pack.coef, pre_enter=True)
     if pack.mxu is not None:
         return ntt(mont_enter(a, pack), pack)
     if pack.pallas is not None:
@@ -395,6 +412,12 @@ def enter_ntt(a, pack):
 
 
 def intt_exit(a, pack, signed=False):
+    if pack.coef is not None:
+        from ..parallel import coef_shard
+
+        if signed:
+            a = make_unsigned(a, pack)
+        return coef_shard.intt_coef_sharded(a, pack.coef, post_exit=True)
     if pack.mxu is not None:
         r = intt(a, pack, signed=signed)
         return mont_redc(r, pack)
@@ -410,6 +433,13 @@ def intt_exit(a, pack, signed=False):
 
 
 def intt_exit_reduce(a, pack, signed=False):
+    if pack.coef is not None:
+        from ..parallel import coef_shard
+
+        if signed:
+            a = make_unsigned(a, pack)
+        return coef_shard.intt_coef_sharded(a, pack.coef, post_exit=True,
+                                            post_reduce=True)
     if pack.mxu is not None:
         return reduce_2q(intt_exit(a, pack, signed=signed), pack)
     if pack.pallas is not None:

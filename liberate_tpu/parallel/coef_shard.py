@@ -78,6 +78,33 @@ class CoefShardPlan:
         self.pl_row_itw = pl_row_itw
         self.pl_lane_itw = pl_lane_itw
 
+    # Registered as a pytree (like PallasPlan) so plans ride inside
+    # LevelPacks through jit boundaries; mesh/axis names and shape
+    # parameters are static aux.
+    _CHILDREN = ("pack", "psi_l", "ipsi_l", "cross_f", "cross_i",
+                 "pl_consts", "pl_row_tw", "pl_lane_tw",
+                 "pl_row_itw", "pl_lane_itw")
+
+    def tree_flatten(self):
+        return (tuple(getattr(self, f) for f in self._CHILDREN),
+                (self.mesh, self.axis, self.S, self.logN,
+                 self.rns_axis, self.pl_logL))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        mesh, axis, S, logN, rns_axis, pl_logL = aux
+        (pack, psi_l, ipsi_l, cross_f, cross_i,
+         pl_consts, pl_row_tw, pl_lane_tw, pl_row_itw, pl_lane_itw) = children
+        return cls(mesh, axis, S, logN, pack, psi_l, ipsi_l, cross_f,
+                   cross_i, pl_logL=pl_logL, pl_consts=pl_consts,
+                   pl_row_tw=pl_row_tw, pl_lane_tw=pl_lane_tw,
+                   pl_row_itw=pl_row_itw, pl_lane_itw=pl_lane_itw,
+                   rns_axis=rns_axis)
+
+
+jax.tree_util.register_pytree_node(
+    CoefShardPlan, lambda p: p.tree_flatten(), CoefShardPlan.tree_unflatten)
+
 
 def _rearranged_bank(bank: np.ndarray, S: int) -> np.ndarray:
     """[2, C, N] global bank -> [2, C, S, L] per-shard local banks.
@@ -113,28 +140,33 @@ def _cross_scalars(bank: np.ndarray, S: int) -> np.ndarray:
 
 def make_coef_plan(ntt_ctx, mesh: Mesh, axis: str = "coef",
                    level: int = 0, mult_type: int = -2,
-                   rns_axis: str = None) -> CoefShardPlan:
+                   rns_axis: str = None, idx=None) -> CoefShardPlan:
     """Build a coefficient-sharding plan from an NttContext's master banks.
 
     rns_axis: name of a second mesh axis to shard the channel dimension
     over (2-D layout); the channel count must divide evenly (engine-level
     packs pad channels to mesh multiples — liberate_tpu.parallel.sharding).
+    idx: explicit channel index list (e.g. a padded level layout or a
+    key-switching part's primes); defaults to the (level, mult_type) range.
     """
     S = int(mesh.shape[axis])
-    pack = ntt_ctx.level_pack(level, mult_type)
-    start, stop = ntt_ctx.channel_range(level, mult_type)
-    if rns_axis is not None and (stop - start) % mesh.shape[rns_axis]:
+    if idx is None:
+        start, stop = ntt_ctx.channel_range(level, mult_type)
+        idx = np.arange(start, stop)
+    idx = np.asarray(idx)
+    pack = ntt_ctx._make_pack(idx, with_psi=False)
+    if rns_axis is not None and idx.size % mesh.shape[rns_axis]:
         raise ValueError(
-            f"channel count {stop - start} not divisible by mesh axis "
+            f"channel count {idx.size} not divisible by mesh axis "
             f"'{rns_axis}' ({mesh.shape[rns_axis]}); pad channels first")
-    psi = ntt_ctx._psi_mont[:, start:stop]    # numpy [2, C, N]
-    ipsi = ntt_ctx._ipsi_mont[:, start:stop]
+    psi = ntt_ctx._psi_mont[:, idx]           # numpy [2, C, N]
+    ipsi = ntt_ctx._ipsi_mont[:, idx]
     logN = ntt_ctx.logN
 
     psi_sh = _rearranged_bank(psi, S)            # [2, C, S, L]
     ipsi_sh = _rearranged_bank(ipsi, S)
-    psi_l = psi_sh.reshape(2, stop - start, -1)
-    ipsi_l = ipsi_sh.reshape(2, stop - start, -1)
+    psi_l = psi_sh.reshape(2, idx.size, -1)
+    ipsi_l = ipsi_sh.reshape(2, idx.size, -1)
 
     # Per-shard Pallas twiddle planes: the local length-L transforms run
     # the fused kernels (bit-exact — same butterfly network on the
@@ -172,10 +204,10 @@ def make_coef_plan(ntt_ctx, mesh: Mesh, axis: str = "coef",
             spec = P(None, axis, rns_axis, *([None] * (x.ndim - 3)))
             return jax.device_put(x, NamedSharding(mesh, spec))
 
-        q = [ntt_ctx.ctx.q[i] for i in range(start, stop)]
-        kk = [ntt_ctx.ctx.k[i] for i in range(start, stop)]
+        q = [ntt_ctx.ctx.q[i] for i in idx]
+        kk = [ntt_ctx.ctx.k[i] for i in idx]
         LB = (1 << 31) - 1
-        consts = np.zeros((10, stop - start), dtype=np.uint32)
+        consts = np.zeros((10, idx.size), dtype=np.uint32)
         consts[0] = np.array([qi & LB for qi in q], dtype=np.uint64)
         consts[1] = np.array([qi >> 31 for qi in q], dtype=np.uint64)
         consts[2] = np.array([ki & LB for ki in kk], dtype=np.uint64)
@@ -190,7 +222,8 @@ def make_coef_plan(ntt_ctx, mesh: Mesh, axis: str = "coef",
                   pl_row_itw=put(pack_u64(ri)), pl_lane_itw=put(pack_u64(li)))
 
     sh_coef = NamedSharding(mesh, P(None, rns_axis, axis))
-    cpack = pack._replace(psi=None, ipsi=None, pallas=None, mxu=None)
+    cpack = pack._replace(psi=None, ipsi=None, pallas=None, mxu=None,
+                          coef=None)
     if rns_axis is not None:
         cpack = jax.tree.map(
             lambda x: jax.device_put(

@@ -170,6 +170,35 @@ def test_coef_sharded_2d_mesh_pallas_bit_exact():
         config.pallas_interpret = False
 
 
+@pytest.mark.slow
+def test_engine_on_2d_mesh():
+    """The WHOLE engine on a ('rns','coef') 2-D mesh: packs carry
+    CoefShardPlans, every NTT dispatches into shard_map with cross-shard
+    ppermute stages, pointwise ops partition under GSPMD. Slow: the
+    sharded mult program compiles ~7 min on the 8-device CPU mesh."""
+    import liberate_tpu
+    from liberate_tpu.parallel import make_mesh2d
+
+    mesh = make_mesh2d(2, 4)
+    eng = liberate_tpu.CkksEngine(logN=8, scale_bits=30, num_scales=3,
+                                  num_special_primes=2, is_secured=False,
+                                  seed=7, mesh=mesh)
+    assert eng.pack(0, -2).coef is not None
+    assert eng.pack(0, -2).coef.rns_axis == "rns"
+    sk = eng.create_secret_key()
+    pk = eng.create_public_key(sk)
+    evk = eng.create_evk(sk)
+    m = eng.example(amin=-1, amax=1)
+    ct = eng.encorypt(m, pk)
+    assert abs(eng.absmax_error(eng.decrode(ct, sk), m)) < 1e-6
+    prod = eng.mult(ct, ct, evk)
+    assert abs(eng.absmax_error(eng.decrode(prod, sk), m * m)) < 1e-5
+    rotk = eng.create_rotation_key(sk, 1)
+    rot = eng.rotate_single(ct, rotk)
+    assert abs(eng.absmax_error(eng.decrode(rot, sk),
+                                np.roll(m, 1))) < 1e-5
+
+
 def test_coef_sharded_pallas_local_bit_exact():
     """Local stages through the fused Pallas kernels (interpret): same
     bits as the XLA local path and the single-chip oracle (logN=10 on 4
