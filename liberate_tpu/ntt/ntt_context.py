@@ -286,21 +286,51 @@ class NttContext:
         from . import mxu_ntt
 
         if self._mxu_master is None:
-            from ..fhe.context.ckks_context import primitive_root_2N
-
-            ctx = self.ctx
-            qs = list(ctx.q)
-            psis = [primitive_root_2N(q, ctx.N) for q in qs]
-            ipsis = [pow(p, -1, q) for p, q in zip(psis, qs)]
-            Rms = [ctx.R % q for q in qs]
-            Ninvs = [pow(ctx.N, -1, q) for q in qs]
-            d = mxu_ntt.make_plan(ctx.logN, qs, Rms, psis, ipsis, Ninvs,
-                                  word_bits=ctx.buffer_bit_length)
+            d = self._mxu_master_tables()
             self._mxu_master = mxu_ntt.plan_from_dict(
                 d, jnp.asarray(self._ql), jnp.asarray(self._qh),
                 jnp.asarray(self._kl), jnp.asarray(self._kh),
                 jnp.asarray(self._q2))
         return mxu_ntt.MxuRef(self._mxu_master, tuple(int(i) for i in idx))
+
+    def _mxu_master_tables(self):
+        """Host-side MXU table build, disk-cached per parameter set (the
+        object-int digit decomposition costs ~2 s/channel at logN=15)."""
+        import hashlib
+
+        from ..fhe.cache.cache import ensure_cache
+        from ..fhe.context.ckks_context import primitive_root_2N
+        from . import mxu_ntt
+
+        ctx = self.ctx
+        key = hashlib.sha256(
+            f"mxu1_{ctx.logN}_{ctx.buffer_bit_length}_"
+            f"{'_'.join(str(q) for q in ctx.q)}".encode()).hexdigest()[:24]
+        path = None
+        try:
+            import os
+
+            path = os.path.join(ensure_cache(), f"mxu_{key}.npz")
+            if os.path.exists(path):
+                z = np.load(path)
+                d = {k: (int(z[k]) if z[k].ndim == 0 else jnp.asarray(z[k]))
+                     for k in z.files}
+                return d
+        except Exception:
+            path = None
+        qs = list(ctx.q)
+        psis = [primitive_root_2N(q, ctx.N) for q in qs]
+        ipsis = [pow(p, -1, q) for p, q in zip(psis, qs)]
+        Rms = [ctx.R % q for q in qs]
+        Ninvs = [pow(ctx.N, -1, q) for q in qs]
+        d = mxu_ntt.make_plan(ctx.logN, qs, Rms, psis, ipsis, Ninvs,
+                              word_bits=ctx.buffer_bit_length)
+        if path is not None:
+            try:
+                np.savez(path, **{k: np.asarray(v) for k, v in d.items()})
+            except Exception:
+                pass
+        return d
 
     def _maybe_pallas_plan(self, idx, sharded=False):
         """A pallas_ntt plan for this channel set, when the Pallas backend
