@@ -199,6 +199,29 @@ def test_engine_on_2d_mesh():
                                 np.roll(m, 1))) < 1e-5
 
 
+@pytest.mark.slow
+def test_multiparty_on_2d_mesh():
+    """3-party collective pk + threshold decryption on the 2-D mesh."""
+    import liberate_tpu
+    from liberate_tpu.parallel import make_mesh2d
+
+    eng = liberate_tpu.CkksEngine(logN=8, scale_bits=30, num_scales=3,
+                                  num_special_primes=2, is_secured=False,
+                                  seed=9, mesh=make_mesh2d(2, 4))
+    sks = [eng.create_secret_key() for _ in range(3)]
+    pk0 = eng.multiparty_create_public_key(sks[0])
+    crs = eng.multiparty_public_crs(pk0)
+    pks = [pk0] + [eng.multiparty_create_public_key(s, a=crs)
+                   for s in sks[1:]]
+    cpk = eng.multiparty_create_collective_public_key(pks)
+    m = eng.example(amin=-1, amax=1)
+    ct = eng.encorypt(m, cpk)
+    pcts = [eng.multiparty_decrypt_head(ct, sks[0])]
+    pcts += [eng.multiparty_decrypt_partial(ct, s) for s in sks[1:]]
+    dec = eng.multiparty_decrypt_fusion(pcts, level=ct.level)
+    assert abs(eng.absmax_error(dec, m)) < 1e-5
+
+
 def test_coef_sharded_pallas_local_bit_exact():
     """Local stages through the fused Pallas kernels (interpret): same
     bits as the XLA local path and the single-chip oracle (logN=10 on 4
