@@ -63,6 +63,24 @@ def main():
     print("== imported host ciphertext ==")
     check_errors(engine.decrode(ct_mesh, sk_mesh), m1)
 
+    # 2-D ('rns', 'coef') layout: channels over one mesh axis AND each
+    # polynomial's coefficients over the other, so a single transform
+    # spans chips (cross-shard NTT stages are ppermute block exchanges —
+    # liberate_tpu/parallel/coef_shard.py). Same API, different mesh.
+    if n >= 4:
+        from liberate_tpu.parallel import make_mesh2d
+
+        mesh2 = make_mesh2d(2, n // 2)
+        eng2 = liberate_tpu.CkksEngine(mesh=mesh2, **params)
+        sk2 = eng2.create_secret_key()
+        pk2 = eng2.create_public_key(sk2)
+        evk2 = eng2.create_evk(sk2)
+        c1 = eng2.encorypt(m1, pk2)
+        c2 = eng2.encorypt(m2, pk2)
+        print("== 2-D (rns, coef) mesh mult ==")
+        print("ciphertext poly sharding:", c1.data[0].sharding.spec)
+        check_errors(eng2.decrode(eng2.mult(c1, c2, evk2), sk2), m1 * m2)
+
 
 if __name__ == "__main__":
     main()
