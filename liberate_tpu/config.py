@@ -59,8 +59,10 @@ use_fused_moddown = False
 # coefficient domain, but one engine instance must use ONE backend
 # throughout (multiparty peers must agree). Bit-exactness is by
 # pointwise-domain equivalence (tests/test_mxu.py, test_engine
-# mxu-backend smoke). OFF pending the on-device A/B vs the fused Pallas
-# kernels.
+# mxu-backend smoke). Works single-chip and on 1-D rns meshes (tables
+# sliced eagerly: level packs channel-sharded, part packs replicated);
+# 2-D coef meshes keep the coef-shard transforms. OFF pending the
+# on-device A/B vs the fused Pallas kernels.
 use_mxu_ntt = False
 
 # Tiled (4-D view) basis extension: pre_extend/extend computed on the

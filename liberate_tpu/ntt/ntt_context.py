@@ -222,7 +222,7 @@ class NttContext:
             if self.coef_axis is not None:
                 coef_plan = self._maybe_coef_plan(idx, sharded=sharded)
             if coef_plan is None:
-                mxu_ref = self._maybe_mxu_ref(idx)
+                mxu_ref = self._maybe_mxu_ref(idx, sharded=sharded)
             if coef_plan is None and mxu_ref is None:
                 pallas_plan = self._maybe_pallas_plan(idx, sharded=sharded)
         return LevelPack(
@@ -267,31 +267,64 @@ class NttContext:
         return make_coef_plan(self, self.mesh, axis=self.coef_axis,
                               rns_axis=rns_ax, idx=idx)
 
-    def _maybe_mxu_ref(self, idx):
+    def _maybe_mxu_ref(self, idx, sharded=False):
         """A channel-restricted view of the master MXU plan, when the
         matmul backend is selected (config.use_mxu_ntt).
 
-        The master is built ONCE over all channels; packs carry MxuRef
-        views (static index tuples) so device storage is shared. The MXU
-        transform's natural-order domain replaces the bit-reversed one
-        engine-wide: every with_psi pack (level packs and key-switching
-        part packs) routes through it, so the engine never mixes domains
-        (see liberate_tpu.config.use_mxu_ntt)."""
+        The MXU transform's natural-order domain replaces the bit-reversed
+        one engine-wide: EVERY with_psi pack (level packs and key-switching
+        part packs) must route through it, so the engine never mixes
+        domains (see liberate_tpu.config.use_mxu_ntt).
+
+        Single chip: packs carry MxuRef views (static index tuples) of the
+        ONE master plan, so device storage is shared and the channel
+        gathers trace inside jit. On a 1-D rns mesh the tables are sliced
+        EAGERLY instead — a traced gather along the sharded channel axis
+        would all-gather ~10 MB/channel of tables per op — and placed
+        channel-sharded for level packs / replicated for part packs
+        (whose channel slices cross shard boundaries)."""
         from .. import config
 
         if not config.use_mxu_ntt:
             return None
-        if self.mesh is not None or self.channel_quantum > 1:
-            return None        # mesh path: Pallas/shard_map (round-3 item)
+        if self.coef_axis is not None:
+            return None   # 2-D meshes: the coef plans own the transform
         from . import mxu_ntt
 
-        if self._mxu_master is None:
-            d = self._mxu_master_tables()
-            self._mxu_master = mxu_ntt.plan_from_dict(
-                d, jnp.asarray(self._ql), jnp.asarray(self._qh),
-                jnp.asarray(self._kl), jnp.asarray(self._kh),
-                jnp.asarray(self._q2))
-        return mxu_ntt.MxuRef(self._mxu_master, tuple(int(i) for i in idx))
+        idx = np.asarray(idx)
+        if self.mesh is None:
+            if self._mxu_master is None:
+                d = self._mxu_master_tables()
+                d = {k: (v if isinstance(v, int) else jnp.asarray(v))
+                     for k, v in d.items()}
+                self._mxu_master = mxu_ntt.plan_from_dict(
+                    d, jnp.asarray(self._ql), jnp.asarray(self._qh),
+                    jnp.asarray(self._kl), jnp.asarray(self._kh),
+                    jnp.asarray(self._q2))
+            return mxu_ntt.MxuRef(self._mxu_master,
+                                  tuple(int(i) for i in idx))
+
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = sharded and idx.size % self.mesh.devices.size == 0
+        d = self._mxu_master_tables()
+
+        def place(x, caxis):
+            x = np.take(np.asarray(x), idx, axis=caxis)
+            if not shard:
+                return jnp.asarray(x)
+            spec = P(*([None] * caxis), self.mesh_axis,
+                     *([None] * (x.ndim - caxis - 1)))
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        kw = {k: (v if isinstance(v, int)
+                  else place(v, 1 if k in mxu_ntt._C_AXIS1 else 0))
+              for k, v in d.items()}
+        plan = mxu_ntt.plan_from_dict(
+            kw, place(self._ql, 0), place(self._qh, 0),
+            place(self._kl, 0), place(self._kh, 0), place(self._q2, 1))
+        return mxu_ntt.MxuRef(plan, tuple(range(idx.size)))
 
     def _mxu_master_tables(self):
         """Host-side MXU table build, disk-cached per parameter set (the
@@ -313,9 +346,8 @@ class NttContext:
             path = os.path.join(ensure_cache(), f"mxu_{key}.npz")
             if os.path.exists(path):
                 z = np.load(path)
-                d = {k: (int(z[k]) if z[k].ndim == 0 else jnp.asarray(z[k]))
-                     for k in z.files}
-                return d
+                return {k: (int(z[k]) if z[k].ndim == 0 else z[k])
+                        for k in z.files}
         except Exception:
             path = None
         qs = list(ctx.q)
@@ -325,6 +357,8 @@ class NttContext:
         Ninvs = [pow(ctx.N, -1, q) for q in qs]
         d = mxu_ntt.make_plan(ctx.logN, qs, Rms, psis, ipsis, Ninvs,
                               word_bits=ctx.buffer_bit_length)
+        d = {k: (v if isinstance(v, int) else np.asarray(v))
+             for k, v in d.items()}
         if path is not None:
             try:
                 np.savez(path, **{k: np.asarray(v) for k, v in d.items()})

@@ -153,6 +153,34 @@ def test_engine_mxu_backend_end_to_end():
         config.use_mxu_ntt = False
 
 
+@pytest.mark.slow
+def test_engine_mxu_backend_on_mesh():
+    """MXU backend on an 8-device rns mesh: level-pack tables are sliced
+    eagerly and channel-sharded, part packs replicated — every NTT call
+    site stays in the natural-order domain."""
+    from liberate_tpu import config
+    from liberate_tpu.fhe.engine import CkksEngine
+    from liberate_tpu.parallel import make_mesh
+
+    config.use_mxu_ntt = True
+    try:
+        eng = CkksEngine(logN=8, scale_bits=30, num_scales=3,
+                         num_special_primes=2, is_secured=False, seed=5,
+                         mesh=make_mesh(8))
+        pk0 = eng.pack(0, -2)
+        assert pk0.mxu is not None and pk0.pallas is None
+        sk = eng.create_secret_key()
+        pk = eng.create_public_key(sk)
+        evk = eng.create_evk(sk)
+        m = np.full(eng.num_slots, 0.25 - 0.5j)
+        ct = eng.encorypt(m, pk)
+        assert abs(eng.absmax_error(eng.decrode(ct, sk), m)) < 1e-6
+        prod = eng.mult(ct, ct, evk)
+        assert abs(eng.absmax_error(eng.decrode(prod, sk), m * m)) < 1e-5
+    finally:
+        config.use_mxu_ntt = False
+
+
 def test_30bit_word_mode_roundtrip():
     """dB=dA=4 digit path (single recombination montmul per element)."""
     ctx = CkksContext(logN=6, scale_bits=26, buffer_bit_length=30,
