@@ -245,6 +245,13 @@ def test_coef_sharded_pallas_local_bit_exact():
         f = ops.ntt(a, pack)
         f_sh = jax.device_put(f, NamedSharding(mesh, P(None, None, "coef")))
         assert _eq(intt_coef_sharded(f_sh, plan), ops.intt(f, pack))
+        # Batched [2, P, C, L-locals] through the SAME fused kernels (the
+        # shape the key switcher's part stacks take on a 2-D mesh).
+        ab = jnp.stack([a, ops.mont_add(a, a, pack)], axis=1)
+        ab_sh = jax.device_put(
+            ab, NamedSharding(mesh, P(None, None, None, "coef")))
+        assert _eq(ntt_coef_sharded(ab_sh, plan, pre_enter=True),
+                   ops.enter_ntt(ab, pack))
     finally:
         config.use_pallas = None
         config.pallas_interpret = False
