@@ -56,6 +56,10 @@ def _build_and_load():
     i64 = ctypes.c_int64
     lib.chacha20_blocks.restype = None
     lib.chacha20_blocks.argtypes = [p32, p32, p64, i64, p32]
+    p8 = ctypes.POINTER(ctypes.c_int8)
+    pi64 = ctypes.POINTER(ctypes.c_int64)
+    lib.mxu_decompose.restype = i64
+    lib.mxu_decompose.argtypes = [p64, i64, i64, u64, i32, i32, p8, pi64]
     return lib
 
 
@@ -118,6 +122,31 @@ def chacha20_blocks(key, nonce, counters):
                         counters.ctypes.data_as(p64), n,
                         out.ctypes.data_as(p32))
     return out
+
+
+def mxu_decompose(M, q: int, dA: int, dB: int):
+    """Balanced base-256 digit decomposition of an MXU-NTT table
+    (ntt/mxu_ntt.py _decompose_table): (digits int8 [dA, O, dB*I],
+    rowsums int32 [dA, O]); None if unavailable."""
+    lib = get_lib()
+    if lib is None or q >= (1 << 63):
+        return None
+    M = np.ascontiguousarray(np.asarray(M, dtype=np.uint64))
+    O, I = M.shape
+    digits = np.empty((dA, O, dB, I), dtype=np.int8)
+    rowsum = np.empty((dA, O), dtype=np.int64)
+    p64 = ctypes.POINTER(ctypes.c_uint64)
+    p8 = ctypes.POINTER(ctypes.c_int8)
+    pi64 = ctypes.POINTER(ctypes.c_int64)
+    errs = lib.mxu_decompose(M.ctypes.data_as(p64), O, I, q, dA, dB,
+                             digits.ctypes.data_as(p8),
+                             rowsum.ctypes.data_as(pi64))
+    if errs:
+        return None
+    rs = 128 * rowsum
+    if np.abs(rs).max() >= 2 ** 31:
+        return None
+    return digits.reshape(dA, O, dB * I), rs.astype(np.int32)
 
 
 def psi_banks(qs, psis, ipsis, logN: int):

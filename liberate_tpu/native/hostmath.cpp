@@ -151,4 +151,38 @@ void chacha20_blocks(const uint32_t* key, const uint32_t* nonce,
     }
 }
 
+// MXU-NTT table digit decomposition (liberate_tpu/ntt/mxu_ntt.py
+// _decompose_table): for each data-digit weight v, fold 2^{8v} into the
+// table mod q and emit dA BALANCED base-256 digits per entry (exact
+// carry propagation). Python-bigint bound at logN >= 15 (the silver
+// master build is ~40 s in numpy-object math, platinum ~12 min); this
+// is the same exact integer arithmetic in __int128. Returns the number
+// of entries whose digits did not terminate (must be 0).
+int64_t mxu_decompose(const uint64_t* M, int64_t O, int64_t I, uint64_t q,
+                      int32_t dA, int32_t dB, int8_t* digits,
+                      int64_t* rowsum) {
+    // digits layout: [dA, O, dB, I]; rowsum: [dA, O] (sum of raw digits,
+    // caller multiplies by 128).
+    int64_t errors = 0;
+    for (int64_t u = 0; u < (int64_t)dA * O; ++u) rowsum[u] = 0;
+    for (int32_t v = 0; v < dB; ++v) {
+        uint64_t w = powmod_u64(2, 8 * (uint64_t)v, q);
+        for (int64_t o = 0; o < O; ++o) {
+            for (int64_t i = 0; i < I; ++i) {
+                uint64_t x = mulmod_u64(M[o * I + i], w, q);
+                for (int32_t u = 0; u < dA; ++u) {
+                    int32_t d = (int32_t)(x & 0xFF);
+                    x >>= 8;
+                    if (d > 127) { d -= 256; x += 1; }
+                    digits[(((int64_t)u * O + o) * dB + v) * I + i] =
+                        (int8_t)d;
+                    rowsum[(int64_t)u * O + o] += d;
+                }
+                if (x != 0) ++errors;
+            }
+        }
+    }
+    return errors;
+}
+
 }  // extern "C"

@@ -127,7 +127,17 @@ def _balanced_digits_np(M, nd):
 
 def _decompose_table(M, q, dA, dB):
     """M: [out, in] uint64 < q. Returns (digits s8 [dA, out, dB*in],
-    rowsum corrections i32 [dA, out])."""
+    rowsum corrections i32 [dA, out]).
+
+    Runs in the native C++ host-math runtime when available (exact
+    __int128 arithmetic, ~100x the numpy-object path — the platinum
+    master build drops from minutes to seconds); the Python path below
+    is the portable oracle (tests/test_mxu.py pins them identical)."""
+    from .. import native
+
+    r = native.mxu_decompose(M, int(q), dA, dB)
+    if r is not None:
+        return r
     O, I = M.shape
     digs = np.zeros((dA, O, dB, I), dtype=np.int8)
     for v in range(dB):

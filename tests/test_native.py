@@ -77,3 +77,23 @@ def test_chacha20_blocks_match_numpy():
     states = make_states(32, key, nonce, counters)
     want, _ = chacha20_np(states, 0)
     assert np.array_equal(got, want)
+
+
+@requires_native
+def test_mxu_decompose_matches_python():
+    from liberate_tpu.ntt import mxu_ntt
+
+    rng = np.random.default_rng(11)
+    q = find_the_next_prime(2 ** 60 + 1, 2 ** 11, up=True)
+    M = rng.integers(0, q, size=(32, 48), dtype=np.uint64)
+    dA, dB, _ = mxu_ntt.digit_params(62)
+    got = native.mxu_decompose(M, q, dA, dB)
+    assert got is not None
+    # Python oracle (the exact numpy-object path)
+    digs = np.zeros((dA, 32, dB, 48), dtype=np.int8)
+    for v in range(dB):
+        Mv = ((M.astype(object) * pow(2, 8 * v, q)) % q).astype(np.uint64)
+        digs[:, :, v, :] = mxu_ntt._balanced_digits_np(Mv, dA)
+    rs = (128 * digs.astype(np.int64).sum(axis=(2, 3))).astype(np.int32)
+    assert np.array_equal(got[0], digs.reshape(dA, 32, dB * 48))
+    assert np.array_equal(got[1], rs)
