@@ -65,9 +65,14 @@ def main():
         state["acc"], state["K"] = acc, K
         return acc.data
 
-    benchtime.sync(chain(1))
+    # Warm up with K=2, not K=1: chain(1) never calls eng.add (the
+    # accumulator short-circuits), so a K=1 warmup leaves the add program
+    # to compile INSIDE the timed region — the differenced time then goes
+    # negative (t(k1) includes a remote compile, t(k2) doesn't).
+    benchtime.sync(chain(2))
     iters = 10
-    best = benchtime.diff_time(chain, max(1, iters // 4), iters, trials=2)
+    best = benchtime.diff_time(chain, max(2, iters // 4), iters, trials=2)
+    assert best > 0, f"A/B config {name}: non-positive diff time {best}"
     err = abs(eng.absmax_error(eng.decrode(state["acc"], sk),
                                m1 * m2 * state["K"]))
     err = float(err.real) if hasattr(err, "real") else float(err)
