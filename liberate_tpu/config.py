@@ -61,28 +61,56 @@ use_fused_moddown = False
 # pointwise-domain equivalence (tests/test_mxu.py, test_engine
 # mxu-backend smoke). Works single-chip and on 1-D rns meshes (tables
 # sliced eagerly: level packs channel-sharded, part packs replicated);
-# 2-D coef meshes keep the coef-shard transforms. OFF pending the
-# on-device A/B vs the fused Pallas kernels.
+# 2-D coef meshes keep the coef-shard transforms. OFF: lost the round-3
+# on-device A/B (mxu=44.6 ms, mxu_all=33.9 ms vs pallas base=26.8 ms,
+# all=20.9 ms at silver) — as a composed-XLA path it round-trips the
+# [C, dA, S, R] int32 digit intermediates through HBM and forfeits the
+# fused Pallas switch. The matmul formulation only pays fused in VMEM
+# (see pallas_ntt MXU notes / docs/DESIGN.md 6).
 use_mxu_ntt = False
+
+# Phase-split transforms: run the row-stage and lane-stage phases of the
+# fused NTT/iNTT as SEPARATE Pallas kernels at every size (the logN>=16
+# path always splits), and hoist the iNTT's N^-1-normalize / Montgomery-
+# exit / reduce chain out of the kernels into XLA ops (identical op
+# order, bit-exact). Round-3 on-device A/B (benchmarks/ntt_probe4.py,
+# device-loop timing, v5e, logN=15 C=17): inverse 1.80 -> 1.50 ms from
+# the split alone (1.06 ms with SMALL_T masked-roll stages on top);
+# forward unchanged (0.62 ms). The extra HBM round trip between phases
+# costs ~30 us and buys Mosaic smaller kernels it schedules better.
+use_split_transform = True
+
+# Phase-split key-switch core: canon+row kernel -> lane kernel -> ksk
+# multiply+part-accumulate kernel, instead of the single fused
+# ntt_ksk_accum kernel (same rationale as use_split_transform). Also
+# extends the Pallas switch to every transform size (the single fused
+# kernel was gated at R <= SPLIT_ROWS).
+use_split_switch = True
 
 # Tiled (4-D view) basis extension: pre_extend/extend computed on the
 # [C, N/128, 128] pair view — the divided-difference rows are
 # single-channel [2, 1, N] arrays that XLA otherwise tiles T(1,128)
 # (1/8 vector utilization). Bit-exact with the flat chain
-# (tests/test_engine.py::test_tiled_extend_bit_exact).
-use_tiled_extend = False
+# (tests/test_engine.py::test_tiled_extend_bit_exact). ON: neutral alone
+# (26.6 vs 26.8 ms base) but part of the winning "all" set in the
+# round-3 on-device A/B (benchmarks/ab_tiled.py: all=20.9 ms vs
+# base=26.8 ms at silver).
+use_tiled_extend = True
 
 # Tiled (4-D view) XLA rescale: _rescale_core computed on a
 # [2, C, N/128, 128] view — same rationale as use_tiled_moddown below.
 # Bit-exact (tests/test_engine.py::test_tiled_rescale_bit_exact).
-use_tiled_rescale = False
+# ON: 25.4 vs 26.8 ms base alone (round-3 on-device A/B at silver).
+use_tiled_rescale = True
 
 # Tiled (4-D view) XLA mod-down: the same composed chain computed on a
 # [2, C, N/128, 128] view, so the dropped-channel broadcast operand is
 # [2, 1, R, 128] (full 8-sublane tiles) instead of [2, 1, N] (T(1,128)
 # degenerate tiling, 1/8 vector utilization). Bit-exact with the flat
 # chain (tests/test_fused_moddown.py::test_tiled_matches_composed).
-use_tiled_moddown = False
+# ON: the single biggest tiled win in the round-3 on-device A/B
+# (21.3 vs 26.8 ms base alone at silver).
+use_tiled_moddown = True
 
 
 def pallas_enabled() -> bool:

@@ -36,6 +36,16 @@ from . import u64
 LANES = 128
 LANE_STAGES = 7  # stages whose butterfly span t < 128
 BIG_M = 256      # row stages with m >= BIG_M use the transposed-data form
+# Lane stages with span t < SMALL_T use the full-width masked-roll
+# butterfly instead of sublane slicing: a [k, 2, t, R] slice with t < 8
+# has degenerate (t, R) tiles (1/8 sublane utilization), and in the
+# INVERSE kernel the t=1 stage runs FIRST after the transpose, so its
+# layout infects every later stage — the round-3 probes measured the
+# 7-stage fused inverse lane phase at 651 us vs 149 us forward (v5e,
+# logN=15 C=17). The masked form does one full-width multiply (half of
+# it discarded) on perfectly tiled data plus two cheap sublane rolls,
+# and selects the identical per-element results (bit-exact).
+SMALL_T = 8
 
 
 # ---------------------------------------------------------------------------
@@ -171,7 +181,57 @@ def _row_stages_fwd(lo, hi, rtl, rth, c, logN, signed, s_lo=0, s_hi=None):
     return lo, hi
 
 
-def _lane_stages_fwd(lo, hi, ltl, lth, c, logN, signed):
+def _expand_tw(ltl, lth, off, k, t, R):
+    """[k, R] twiddle rows -> full-width [LANES, R] per-position planes
+    (each pair's twiddle repeated over its 2t-position group)."""
+    sl = jnp.broadcast_to(ltl[off:off + k][:, None, :], (k, 2 * t, R))
+    sh = jnp.broadcast_to(lth[off:off + k][:, None, :], (k, 2 * t, R))
+    return sl.reshape(LANES, R), sh.reshape(LANES, R)
+
+
+def _even_mask(t, R):
+    """[LANES, R] bool: True where the sublane position is in the even
+    (U) half of its butterfly pair (bit t of the position clear)."""
+    pos = jax.lax.broadcasted_iota(jnp.uint32, (LANES, R), 0)
+    return (pos & np.uint32(t)) == 0
+
+
+def _lane_stage_fwd_small(lo, hi, ltl, lth, off, k, t, c, signed):
+    """CT lane stage via masked rolls (see SMALL_T). Bit-exact with the
+    sliced form: identical op chains on the selected positions."""
+    R = lo.shape[1]
+    q2 = (c["q2l"], c["q2h"])
+    S = _expand_tw(ltl, lth, off, k, t, R)
+    x = (lo, hi)
+    W = _mm(x, S, c, signed)                      # V at odd positions
+    # pltpu.roll wants non-negative shifts; LANES - t == -t mod LANES.
+    up = (pltpu.roll(W[0], LANES - t, 0),
+          pltpu.roll(W[1], LANES - t, 0))                     # V at even
+    dn = (pltpu.roll(lo, t, 0), pltpu.roll(hi, t, 0))         # U at odd
+    even = _cond_sub(u64.add(x, up), q2)
+    odd = _cond_sub(u64.sub(u64.add(dn, q2), W), q2)
+    m = _even_mask(t, R)
+    return (jnp.where(m, even[0], odd[0]), jnp.where(m, even[1], odd[1]))
+
+
+def _lane_stage_inv_small(lo, hi, ltl, lth, off, k, t, c, signed):
+    """GS lane stage via masked rolls (see SMALL_T)."""
+    R = lo.shape[1]
+    q2 = (c["q2l"], c["q2h"])
+    S = _expand_tw(ltl, lth, off, k, t, R)
+    x = (lo, hi)
+    vup = (pltpu.roll(lo, LANES - t, 0),
+           pltpu.roll(hi, LANES - t, 0))                      # V at even
+    diff = _cond_sub(u64.sub(u64.add(x, q2), vup), q2)        # U-V at even
+    W = _mm(diff, S, c, signed)
+    even = _cond_sub(u64.add(x, vup), q2)
+    Wdn = (pltpu.roll(W[0], t, 0), pltpu.roll(W[1], t, 0))    # W at odd
+    m = _even_mask(t, R)
+    return (jnp.where(m, even[0], Wdn[0]), jnp.where(m, even[1], Wdn[1]))
+
+
+def _lane_stages_fwd(lo, hi, ltl, lth, c, logN, signed,
+                     l_lo=0, l_hi=LANE_STAGES):
     """The last 7 CT stages, on the TRANSPOSED [128, R] view."""
     R = lo.shape[0]
     q2 = (c["q2l"], c["q2h"])
@@ -179,7 +239,13 @@ def _lane_stages_fwd(lo, hi, ltl, lth, c, logN, signed):
     hi = hi.T
     offsets, ks = lane_tw_offsets(logN)
     for i, (off, k) in enumerate(zip(offsets, ks)):
+        if not (l_lo <= i < l_hi):
+            continue
         t = LANES // (2 * k)
+        if t < SMALL_T:
+            lo, hi = _lane_stage_fwd_small(lo, hi, ltl, lth, off, k, t,
+                                           c, signed)
+            continue
         vl = lo.reshape(k, 2, t, R)
         vh = hi.reshape(k, 2, t, R)
         U = (vl[:, 0], vh[:, 0])
@@ -193,16 +259,21 @@ def _lane_stages_fwd(lo, hi, ltl, lth, c, logN, signed):
     return lo.T, hi.T
 
 
-def _lane_stages_inv(lo, hi, ltl, lth, c, logN, signed):
+def _lane_stages_inv(lo, hi, ltl, lth, c, logN, signed,
+                     l_lo=0, l_hi=LANE_STAGES):
     """The first 7 Gentleman-Sande stages, transposed view."""
     R = lo.shape[0]
     q2 = (c["q2l"], c["q2h"])
     lo = lo.T
     hi = hi.T
     offsets, ks = lane_tw_offsets(logN)
-    for i in reversed(range(LANE_STAGES)):
+    for i in reversed(range(l_lo, l_hi)):
         off, k = int(offsets[i]), int(ks[i])
         t = LANES // (2 * k)
+        if t < SMALL_T:
+            lo, hi = _lane_stage_inv_small(lo, hi, ltl, lth, off, k, t,
+                                           c, signed)
+            continue
         vl = lo.reshape(k, 2, t, R)
         vh = hi.reshape(k, 2, t, R)
         U = (vl[:, 0], vh[:, 0])
@@ -284,10 +355,24 @@ def _final_reduce(lo, hi, c):
 
 def _ntt_kernel(cref, x_ref, rowtw_ref, lanetw_ref, o_ref, *,
                 logN, signed, pre_enter, post_reduce,
-                do_rows=True, do_lanes=True, row_lo=0, row_hi=None):
+                do_rows=True, do_lanes=True, row_lo=0, row_hi=None,
+                l_lo=0, l_hi=LANE_STAGES, pre_canon=False):
     c = _read_consts(cref)
     lo = x_ref[0, 0, 0]
     hi = x_ref[1, 0, 0]
+    if pre_canon and do_rows and row_lo == 0:
+        # canon_2q(montmul_signed(x, aux)): wrapped-negative inputs (the
+        # basis-extension divided differences) -> [0, 2q); the stages then
+        # run the unsigned fast path (same chain as _ntt_mulacc_kernel).
+        ch = pl.program_id(1)
+        S = (cref[6, ch], cref[7, ch])
+        q2 = (c["q2l"], c["q2h"])
+        lo, hi = u64.montmul_signed((lo, hi), S, c["ql"], c["qh"],
+                                    c["kl"], c["kh"])
+        neg = hi.astype(jnp.int32) < 0
+        fl, fh = u64.add((lo, hi), q2)
+        lo = jnp.where(neg, fl, lo)
+        hi = jnp.where(neg, fh, hi)
     if pre_enter and do_rows and row_lo == 0:
         ch = pl.program_id(1)
         S = (cref[6, ch], cref[7, ch])
@@ -297,7 +382,7 @@ def _ntt_kernel(cref, x_ref, rowtw_ref, lanetw_ref, o_ref, *,
                                  c, logN, signed, s_lo=row_lo, s_hi=row_hi)
     if do_lanes:
         lo, hi = _lane_stages_fwd(lo, hi, lanetw_ref[0, 0], lanetw_ref[1, 0],
-                                  c, logN, signed)
+                                  c, logN, signed, l_lo=l_lo, l_hi=l_hi)
     if post_reduce and do_lanes:
         lo, hi = _final_reduce(lo, hi, c)
     o_ref[0, 0, 0] = lo
@@ -307,13 +392,13 @@ def _ntt_kernel(cref, x_ref, rowtw_ref, lanetw_ref, o_ref, *,
 def _intt_kernel(cref, x_ref, rowtw_ref, lanetw_ref, o_ref, *,
                  logN, signed, post_exit, post_reduce,
                  do_rows=True, do_lanes=True, row_lo=0, row_hi=None,
-                 no_norm=False):
+                 no_norm=False, l_lo=0, l_hi=LANE_STAGES):
     c = _read_consts(cref)
     lo = x_ref[0, 0, 0]
     hi = x_ref[1, 0, 0]
     if do_lanes:
         lo, hi = _lane_stages_inv(lo, hi, lanetw_ref[0, 0], lanetw_ref[1, 0],
-                                  c, logN, signed)
+                                  c, logN, signed, l_lo=l_lo, l_hi=l_hi)
     if do_rows:
         lo, hi = _row_stages_inv(lo, hi, rowtw_ref[0, 0], rowtw_ref[1, 0],
                                  c, logN, signed, s_lo=row_lo, s_hi=row_hi)
@@ -393,12 +478,18 @@ def _ntt_mulacc_kernel(cref, x_ref, rowtw_ref, lanetw_ref, k0_ref, k1_ref,
 
 
 def supports_fused_accum(plan) -> bool:
-    """The fused switch kernel covers the single-kernel transform sizes
-    (R <= SPLIT_ROWS); the split path keeps the composed ops. Sharded
-    plans use the composed path too (the per-part fold stays a psum
+    """The single fused switch kernel covers the single-kernel transform
+    sizes (R <= SPLIT_ROWS); the phase-split variant covers every size
+    (its row chunks are the same kernels the big-logN transforms use).
+    Sharded plans use the composed path (the per-part fold stays a psum
     GSPMD can schedule)."""
-    return ((1 << plan.logN) // LANES <= SPLIT_ROWS
-            and plan.mesh is None)
+    from .. import config
+
+    if plan.mesh is not None:
+        return False
+    if config.use_split_switch:
+        return True
+    return (1 << plan.logN) // LANES <= SPLIT_ROWS
 
 
 def _mod_down_kernel(cref, pirs_ref, x_ref, o_ref, *, n_sp, W_ord, C_sp):
@@ -505,6 +596,93 @@ def mod_down(d, plan, enter_ord, PiRs, W_ord, C_sp=None, interpret=False):
     return out.reshape(2, W_ord, N)
 
 
+def _ksk_mulacc_kernel(cref, x_ref, k0_ref, k1_ref, o0_ref, o1_ref):
+    """Tail of the key-switch core as its own kernel: multiply the NTT'd
+    basis-extension block by both ksk halves and accumulate over the part
+    axis (outputs resident in VMEM across the inner part loop)."""
+    ch = pl.program_id(0)
+    p = pl.program_id(1)
+    ql, qh = cref[0, ch], cref[1, ch]
+    kl, kh = cref[2, ch], cref[3, ch]
+    q2 = (cref[4, ch], cref[5, ch])
+    x = (x_ref[0, 0, 0], x_ref[1, 0, 0])
+    k0 = (k0_ref[0, 0, 0], k0_ref[1, 0, 0])
+    k1 = (k1_ref[0, 0, 0], k1_ref[1, 0, 0])
+    p0 = u64.montmul(x, k0, ql, qh, kl, kh)
+    p1 = u64.montmul(x, k1, ql, qh, kl, kh)
+
+    @pl.when(p == 0)
+    def _init():
+        o0_ref[0, 0] = p0[0]
+        o0_ref[1, 0] = p0[1]
+        o1_ref[0, 0] = p1[0]
+        o1_ref[1, 0] = p1[1]
+
+    @pl.when(p != 0)
+    def _accum():
+        a0 = _cond_sub(u64.add((o0_ref[0, 0], o0_ref[1, 0]), p0), q2)
+        o0_ref[0, 0] = a0[0]
+        o0_ref[1, 0] = a0[1]
+        a1 = _cond_sub(u64.add((o1_ref[0, 0], o1_ref[1, 0]), p1), q2)
+        o1_ref[0, 0] = a1[0]
+        o1_ref[1, 0] = a1[1]
+
+
+def _ntt_ksk_accum_split(ext, k0_full, k1_full, plan, ident, level,
+                         part_off, interpret=False):
+    """Phase-split key-switch core (see config.use_split_switch):
+    canon+row-phase kernel(s) -> lane-phase kernel -> multiply+accumulate
+    kernel. Bit-exact with the fused ntt_ksk_accum (identical per-element
+    op order); trades one [2, P, C, N] HBM round trip between phases for
+    kernels small enough that Mosaic schedules them well."""
+    _, P, C, N = ext.shape
+    R = N // LANES
+    consts = plan.consts.at[6].set(ident[0]).at[7].set(ident[1])
+    n_row = plan.logN - LANE_STAGES
+
+    mid = ext
+    for lo_s, hi_s in _row_chunks(n_row, R):
+        k1 = functools.partial(_ntt_kernel, logN=plan.logN, signed=False,
+                               pre_enter=False, post_reduce=False,
+                               do_lanes=False, row_lo=lo_s, row_hi=hi_s,
+                               pre_canon=True)
+        mid = _call(k1, mid, consts, plan.row_tw, plan.lane_tw, interpret)
+    k2 = functools.partial(_ntt_kernel, logN=plan.logN, signed=False,
+                           pre_enter=False, post_reduce=False,
+                           do_rows=False)
+    mid = _call_lanes(k2, mid, consts, plan.row_tw, plan.lane_tw, interpret)
+
+    xv = mid.reshape(2, P, C, R, LANES)
+    k0v = k0_full.reshape(2, k0_full.shape[1], k0_full.shape[2], R, LANES)
+    k1v = k1_full.reshape(2, k1_full.shape[1], k1_full.shape[2], R, LANES)
+    out_shape = jax.ShapeDtypeStruct((2, C, R, LANES), ext.dtype)
+    o0, o1 = pl.pallas_call(
+        _ksk_mulacc_kernel,
+        grid=(C, P),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, 1, 1, R, LANES),
+                         lambda ch, p: (0, p, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, 1, R, LANES),
+                         lambda ch, p: (0, p + part_off, ch + level, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, 1, R, LANES),
+                         lambda ch, p: (0, p + part_off, ch + level, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, 1, R, LANES), lambda ch, p: (0, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, R, LANES), lambda ch, p: (0, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[out_shape, out_shape],
+        interpret=interpret,
+    )(consts, xv, k0v, k1v)
+    return o0.reshape(2, C, N), o1.reshape(2, C, N)
+
+
 def ntt_ksk_accum(ext, k0_full, k1_full, plan, ident, level, part_off,
                   interpret=False):
     """Fused key-switch core. ext: [2, P, C, N] signed basis-extension
@@ -515,6 +693,11 @@ def ntt_ksk_accum(ext, k0_full, k1_full, plan, ident, level, part_off,
     identity (R mod q). Returns (d0, d1): [2, C, N] accumulated over
     parts, in the NTT+Montgomery domain, in [0, 2q).
     """
+    from .. import config
+
+    if config.use_split_switch:
+        return _ntt_ksk_accum_split(ext, k0_full, k1_full, plan, ident,
+                                    level, part_off, interpret=interpret)
     _, P, C, N = ext.shape
     R = N // LANES
     consts = plan.consts.at[6].set(ident[0]).at[7].set(ident[1])
@@ -750,6 +933,8 @@ def _sharded_transform(fn, a, plan, kw):
 def ntt(a, plan, signed=False, pre_enter=False, post_reduce=False,
         interpret=False):
     """Forward NTT over packed [2, C, N] or batched [2, B, C, N]."""
+    from .. import config
+
     if plan.mesh is not None:
         return _sharded_transform(
             ntt, a, plan, dict(signed=signed, pre_enter=pre_enter,
@@ -763,7 +948,7 @@ def ntt(a, plan, signed=False, pre_enter=False, post_reduce=False,
                  pre_enter=pre_enter, post_reduce=post_reduce,
                  interpret=interpret)
              for lo, hi in _slab_bounds(C)], axis=-2)
-    if R <= SPLIT_ROWS:
+    if R <= SPLIT_ROWS and not config.use_split_transform:
         kern = functools.partial(_ntt_kernel, logN=plan.logN, signed=signed,
                                  pre_enter=pre_enter, post_reduce=post_reduce)
         return _call(kern, a, consts, plan.row_tw, plan.lane_tw, interpret)
@@ -780,11 +965,41 @@ def ntt(a, plan, signed=False, pre_enter=False, post_reduce=False,
     return _call_lanes(k2, mid, consts, plan.row_tw, plan.lane_tw, interpret)
 
 
+def _norm_exit_external(out, plan, signed, post_exit, post_reduce):
+    """The iNTT tail — N^{-1} normalize (Montgomery multiply), optional
+    Montgomery exit, optional [0,2q)->[0,q) reduce — as XLA ops on the
+    kernel output.
+
+    Bit-identical to the in-kernel chain (same u64 call sequence); kept
+    outside the kernels because Mosaic schedules the trailing scalar
+    multiply pathologically inside large fused kernels (0.5-0.9 ms for
+    one multiply at logN=15 C=17 on v5e — benchmarks/ntt_probe2.py)."""
+    cn = plan.consts_ninv
+    shp = (slice(None),) + (None,) * (out.ndim - 3) + (slice(None), None)
+    ql, qh = cn[0][shp[1:]], cn[1][shp[1:]]
+    kl, kh = cn[2][shp[1:]], cn[3][shp[1:]]
+    S = (cn[6][shp[1:]], cn[7][shp[1:]])
+    v = (out[0], out[1])
+    if signed:
+        v = u64.montmul_signed(v, S, ql, qh, kl, kh)
+    else:
+        v = u64.montmul(S, v, ql, qh, kl, kh)
+    if post_exit:
+        f = u64.montredc_signed if signed else u64.montredc
+        v = f(v, ql, qh, kl, kh)
+    out = jnp.stack([v[0], v[1]])
+    if post_reduce:
+        out = _reduce_external(out, plan)
+    return out
+
+
 def intt(a, plan, signed=False, post_exit=False, post_reduce=False,
          no_norm=False, interpret=False):
     """Inverse NTT. no_norm skips the trailing N^{-1} multiply (the
     coefficient-sharded path normalizes globally after its cross-shard
     stages — identical op chain to ops.intt_no_norm)."""
+    from .. import config
+
     assert not (no_norm and (post_exit or post_reduce)), \
         "no_norm skips the exit chain entirely"
     if plan.mesh is not None:
@@ -800,7 +1015,7 @@ def intt(a, plan, signed=False, post_exit=False, post_reduce=False,
                   post_exit=post_exit, post_reduce=post_reduce,
                   no_norm=no_norm, interpret=interpret)
              for lo, hi in _slab_bounds(C)], axis=-2)
-    if R <= SPLIT_ROWS:
+    if R <= SPLIT_ROWS and not config.use_split_transform:
         kern = functools.partial(_intt_kernel, logN=plan.logN, signed=signed,
                                  post_exit=post_exit,
                                  post_reduce=post_reduce, no_norm=no_norm)
@@ -808,20 +1023,22 @@ def intt(a, plan, signed=False, post_exit=False, post_reduce=False,
                      interpret)
     n_row = plan.logN - LANE_STAGES
     k1 = functools.partial(_intt_kernel, logN=plan.logN, signed=signed,
-                           post_exit=post_exit, post_reduce=False,
+                           post_exit=False, post_reduce=False,
                            do_rows=False)
     mid = _call_lanes(k1, a, plan.consts_ninv, plan.row_itw, plan.lane_itw,
                       interpret)
-    # GS row stages run high-to-low: iterate the chunks in reverse.
+    # GS row stages run high-to-low: iterate the chunks in reverse. All
+    # kernels run no_norm; the normalize/exit/reduce tail is external.
     for lo_s, hi_s in reversed(_row_chunks(n_row, R)):
         k2 = functools.partial(_intt_kernel, logN=plan.logN, signed=signed,
-                               post_exit=post_exit, post_reduce=False,
+                               post_exit=False, post_reduce=False,
                                do_lanes=False, row_lo=lo_s, row_hi=hi_s,
-                               no_norm=no_norm)
+                               no_norm=True)
         mid = _call(k2, mid, plan.consts_ninv, plan.row_itw, plan.lane_itw,
                     interpret)
-    # The final [0,2q)->[0,q) reduce runs OUTSIDE the kernels on this path.
-    if post_reduce:
+    if not no_norm:
+        mid = _norm_exit_external(mid, plan, signed, post_exit, post_reduce)
+    elif post_reduce:
         mid = _reduce_external(mid, plan)
     return mid
 
