@@ -80,6 +80,17 @@ use_mxu_ntt = False
 # costs ~30 us and buys Mosaic smaller kernels it schedules better.
 use_split_transform = True
 
+# Shoup constant-multiply twiddle path: the Pallas plans carry PLAIN
+# twiddles plus precomputed quotients wp = floor(w*2^64/q), and every
+# butterfly multiply runs r = w*x - mulhi64(wp, x)*q instead of the
+# Montgomery REDC — 2.4x faster on the v5e VPU (56.7 -> 24.0 us/channel
+# for a 15-multiply chain, benchmarks/ntt_probe6.py), and the transforms
+# are ~100% twiddle-multiply-bound (ntt_probe5: the interleaves cost
+# 2.4 us/channel of the 36.6 total). Same values mod q with DIFFERENT
+# [0, 2q) lazy representatives — turn OFF for bit-exact parity with the
+# reference CUDA kernel chains (the golden-model tests pin both modes).
+use_shoup_twiddles = True
+
 # Phase-split key-switch core: canon+row kernel -> lane kernel -> ksk
 # multiply+part-accumulate kernel, instead of the single fused
 # ntt_ksk_accum kernel (same rationale as use_split_transform). Also

@@ -60,6 +60,8 @@ def _build_and_load():
     pi64 = ctypes.POINTER(ctypes.c_int64)
     lib.mxu_decompose.restype = i64
     lib.mxu_decompose.argtypes = [p64, i64, i64, u64, i32, i32, p8, pi64]
+    lib.shoup_precompute.restype = None
+    lib.shoup_precompute.argtypes = [p64, i64, u64, p64]
     return lib
 
 
@@ -147,6 +149,20 @@ def mxu_decompose(M, q: int, dA: int, dB: int):
     if np.abs(rs).max() >= 2 ** 31:
         return None
     return digits.reshape(dA, O, dB * I), rs.astype(np.int32)
+
+
+def shoup_precompute(w, q: int):
+    """wp = floor(w * 2^64 / q) per element (uint64 [..]); None if the
+    native library is unavailable (caller falls back to Python ints)."""
+    lib = get_lib()
+    if lib is None or q >= (1 << 63):
+        return None
+    w = np.ascontiguousarray(np.asarray(w, dtype=np.uint64))
+    out = np.empty(w.shape, dtype=np.uint64)
+    p64 = ctypes.POINTER(ctypes.c_uint64)
+    lib.shoup_precompute(w.ctypes.data_as(p64), w.size, q,
+                         out.ctypes.data_as(p64))
+    return out
 
 
 def psi_banks(qs, psis, ipsis, logN: int):

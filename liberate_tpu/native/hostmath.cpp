@@ -185,4 +185,14 @@ int64_t mxu_decompose(const uint64_t* M, int64_t O, int64_t I, uint64_t q,
     return errors;
 }
 
+// Shoup multiplier precompute: wp[i] = floor(w[i] * 2^64 / q). Exact in
+// unsigned __int128; used for the Pallas kernels' constant-multiplier
+// twiddle path (liberate_tpu/ntt/pallas_ntt.py, config.use_shoup_twiddles).
+void shoup_precompute(const uint64_t* w, int64_t n, uint64_t q,
+                      uint64_t* wp) {
+    for (int64_t i = 0; i < n; ++i) {
+        wp[i] = (uint64_t)(((unsigned __int128)w[i] << 64) / q);
+    }
+}
+
 }  // extern "C"

@@ -397,6 +397,12 @@ class NttContext:
         ipsi_u64 = (self._ipsi_mont[0, idx].astype(np.uint64)
                     | (self._ipsi_mont[1, idx].astype(np.uint64) << 32))
         q = [ctx.q[i] for i in idx]
+        psi_plain = ipsi_plain = None
+        if config.use_shoup_twiddles:
+            # Plain-form banks for the Shoup constant-multiply path
+            # (ctx.psi/psi_inv are the reference's bit-reversed banks).
+            psi_plain = np.array(ctx.psi, dtype=np.int64)[idx]
+            ipsi_plain = np.array(ctx.psi_inv, dtype=np.int64)[idx]
         plan = pallas_ntt.make_plan(
             self.logN,
             q,
@@ -404,6 +410,7 @@ class NttContext:
             [ctx.R_square[i] for i in idx],
             [(ctx.N_inv[i] * ctx.R) % ctx.q[i] for i in idx],
             psi_u64, ipsi_u64,
+            psi_bank_plain=psi_plain, ipsi_bank_plain=ipsi_plain,
         )
         if self.mesh is not None:
             # Channel-sharded plan: the kernels run per-shard under

@@ -113,12 +113,79 @@ def _mm(a, b, c, signed):
     return u64.montmul(b, a, c["ql"], c["qh"], c["kl"], c["kh"])
 
 
+def _tw_mul(a, S, Sp, c, signed):
+    """Multiply by a twiddle-plane constant: Shoup when the plan carries
+    precomputed quotient planes (Sp), Montgomery otherwise. Shoup returns
+    a different [0, 2q) representative (same value mod q) — the parity
+    mode (config.use_shoup_twiddles=False) keeps the Montgomery chain."""
+    if Sp is None:
+        return _mm(a, S, c, signed)
+    return u64.shoup_mul(a, S, Sp, c["q"])
+
+
+def _tw_pick(rt, f, signed):
+    """Apply the slice/reshape ``f`` to every plane row; returns (S, Sp).
+    rt is a tuple of 2 (Montgomery) or 4 (plain w + Shoup wp) planes."""
+    if len(rt) == 4 and not signed:
+        return (f(rt[0]), f(rt[1])), (f(rt[2]), f(rt[3]))
+    return (f(rt[0]), f(rt[1])), None
+
+
 def _cond_sub(v, q2):
     over = ~u64.lt_signed(v, q2)
     return u64.select(over, u64.sub(v, q2), v)
 
 
-def _row_stages_fwd(lo, hi, rtl, rth, c, logN, signed, s_lo=0, s_hi=None):
+def _row_tw_expand(R, m, th):
+    """Slice fn for _tw_pick: a [n_row, 1, R/2] plane row -> full-width
+    [R, 1] per-ROW twiddle (value of row r = bank[m + r // (2 th)])."""
+    def f(p, m=m, th=th):
+        v = jnp.swapaxes(p, 0, 1)[:m * th].reshape(m, th, 1)
+        return jnp.broadcast_to(v[:, :1, :], (m, 2 * th, 1)).reshape(R, 1)
+    return f
+
+
+def _row_mask(th, R):
+    """[R, LANES] bool: True where the sublane row is the U (even) half
+    of its span-th butterfly pair (bit th of the row index clear)."""
+    pos = jax.lax.broadcasted_iota(jnp.uint32, (R, LANES), 0)
+    return (pos & np.uint32(th)) == 0
+
+
+def _row_stage_fwd_small(lo, hi, rt, s, m, th, c, signed):
+    """CT row stage with span th < SMALL_T via masked sublane rolls on
+    the natural [R, 128] view (same rationale as the lane-stage SMALL_T
+    path: [m, 2, th, LANES] slices with th < 8 have degenerate sublane
+    tiles). Bit-exact with the sliced form."""
+    R = lo.shape[0]
+    q2 = (c["q2l"], c["q2h"])
+    S, Sp = _tw_pick(rt, lambda p: _row_tw_expand(R, m, th)(p[s]), signed)
+    x = (lo, hi)
+    W = _tw_mul(x, S, Sp, c, signed)              # V at odd rows
+    up = (pltpu.roll(W[0], R - th, 0), pltpu.roll(W[1], R - th, 0))
+    dn = (pltpu.roll(lo, th, 0), pltpu.roll(hi, th, 0))
+    even = _cond_sub(u64.add(x, up), q2)
+    odd = _cond_sub(u64.sub(u64.add(dn, q2), W), q2)
+    msk = _row_mask(th, R)
+    return (jnp.where(msk, even[0], odd[0]), jnp.where(msk, even[1], odd[1]))
+
+
+def _row_stage_inv_small(lo, hi, rt, s, m, th, c, signed):
+    """GS row stage with span th < SMALL_T via masked sublane rolls."""
+    R = lo.shape[0]
+    q2 = (c["q2l"], c["q2h"])
+    S, Sp = _tw_pick(rt, lambda p: _row_tw_expand(R, m, th)(p[s]), signed)
+    x = (lo, hi)
+    vup = (pltpu.roll(lo, R - th, 0), pltpu.roll(hi, R - th, 0))
+    diff = _cond_sub(u64.sub(u64.add(x, q2), vup), q2)    # U-V at even rows
+    W = _tw_mul(diff, S, Sp, c, signed)
+    even = _cond_sub(u64.add(x, vup), q2)
+    Wdn = (pltpu.roll(W[0], th, 0), pltpu.roll(W[1], th, 0))
+    msk = _row_mask(th, R)
+    return (jnp.where(msk, even[0], Wdn[0]), jnp.where(msk, even[1], Wdn[1]))
+
+
+def _row_stages_fwd(lo, hi, rt, c, logN, signed, s_lo=0, s_hi=None):
     """Cooley-Tukey stages with t >= 128 on the [R, 128] view."""
     R = lo.shape[0]
     q2 = (c["q2l"], c["q2h"])
@@ -127,15 +194,19 @@ def _row_stages_fwd(lo, hi, rtl, rth, c, logN, signed, s_lo=0, s_hi=None):
     for s in range(s_lo, s_hi):
         m = 1 << s
         th = R // (2 * m)
+        if th < SMALL_T and m < BIG_M:
+            # Degenerate-tile spans: masked-roll form (see SMALL_T).
+            lo, hi = _row_stage_fwd_small(lo, hi, rt, s, m, th, c, signed)
+            continue
         if th == 1 and m < BIG_M:
             # 3D view: the 4D th=1 form trips Mosaic layout inference.
             vl = lo.reshape(m, 2, LANES)
             vh = hi.reshape(m, 2, LANES)
             U = (vl[:, 0], vh[:, 0])
             O = (vl[:, 1], vh[:, 1])
-            S = (jnp.swapaxes(rtl[s], 0, 1)[:m],
-                 jnp.swapaxes(rth[s], 0, 1)[:m])
-            V = _mm(O, S, c, signed)
+            S, Sp = _tw_pick(rt, lambda p: jnp.swapaxes(p[s], 0, 1)[:m],
+                             signed)
+            V = _tw_mul(O, S, Sp, c, signed)
             even = _cond_sub(u64.add(U, V), q2)
             odd = _cond_sub(u64.sub(u64.add(U, q2), V), q2)
             lo = jnp.stack([even[0], odd[0]], axis=1).reshape(R, LANES)
@@ -155,7 +226,8 @@ def _row_stages_fwd(lo, hi, rtl, rth, c, logN, signed, s_lo=0, s_hi=None):
             Oh = vh[:, 1].reshape(R // 2, LANES)
             Ut = (Ul.T, Uh.T)
             Ot = (Ol.T, Oh.T)
-            Vt = _mm(Ot, (rtl[s], rth[s]), c, signed)
+            S, Sp = _tw_pick(rt, lambda p: p[s], signed)
+            Vt = _tw_mul(Ot, S, Sp, c, signed)
             even = _cond_sub(u64.add(Ut, Vt), q2)
             odd = _cond_sub(u64.sub(u64.add(Ut, q2), Vt), q2)
             e = (even[0].T.reshape(m, th, LANES),
@@ -169,11 +241,11 @@ def _row_stages_fwd(lo, hi, rtl, rth, c, logN, signed, s_lo=0, s_hi=None):
         vh = hi.reshape(m, 2, th, LANES)
         U = (vl[:, 0], vh[:, 0])
         O = (vl[:, 1], vh[:, 1])
-        rtl_s = jnp.swapaxes(rtl[s], 0, 1)  # [R/2, 1] sublane-oriented
-        rth_s = jnp.swapaxes(rth[s], 0, 1)
-        S = (rtl_s[:m * th].reshape(m, th, 1),
-             rth_s[:m * th].reshape(m, th, 1))
-        V = _mm(O, S, c, signed)
+        S, Sp = _tw_pick(
+            rt,
+            lambda p: jnp.swapaxes(p[s], 0, 1)[:m * th].reshape(m, th, 1),
+            signed)
+        V = _tw_mul(O, S, Sp, c, signed)
         even = _cond_sub(u64.add(U, V), q2)
         odd = _cond_sub(u64.sub(u64.add(U, q2), V), q2)
         lo = jnp.stack([even[0], odd[0]], axis=1).reshape(R, LANES)
@@ -181,12 +253,11 @@ def _row_stages_fwd(lo, hi, rtl, rth, c, logN, signed, s_lo=0, s_hi=None):
     return lo, hi
 
 
-def _expand_tw(ltl, lth, off, k, t, R):
-    """[k, R] twiddle rows -> full-width [LANES, R] per-position planes
+def _expand_tw(plane, off, k, t, R):
+    """[k, R] twiddle rows -> full-width [LANES, R] per-position plane
     (each pair's twiddle repeated over its 2t-position group)."""
-    sl = jnp.broadcast_to(ltl[off:off + k][:, None, :], (k, 2 * t, R))
-    sh = jnp.broadcast_to(lth[off:off + k][:, None, :], (k, 2 * t, R))
-    return sl.reshape(LANES, R), sh.reshape(LANES, R)
+    s = jnp.broadcast_to(plane[off:off + k][:, None, :], (k, 2 * t, R))
+    return s.reshape(LANES, R)
 
 
 def _even_mask(t, R):
@@ -196,14 +267,14 @@ def _even_mask(t, R):
     return (pos & np.uint32(t)) == 0
 
 
-def _lane_stage_fwd_small(lo, hi, ltl, lth, off, k, t, c, signed):
+def _lane_stage_fwd_small(lo, hi, lt, off, k, t, c, signed):
     """CT lane stage via masked rolls (see SMALL_T). Bit-exact with the
     sliced form: identical op chains on the selected positions."""
     R = lo.shape[1]
     q2 = (c["q2l"], c["q2h"])
-    S = _expand_tw(ltl, lth, off, k, t, R)
+    S, Sp = _tw_pick(lt, lambda p: _expand_tw(p, off, k, t, R), signed)
     x = (lo, hi)
-    W = _mm(x, S, c, signed)                      # V at odd positions
+    W = _tw_mul(x, S, Sp, c, signed)              # V at odd positions
     # pltpu.roll wants non-negative shifts; LANES - t == -t mod LANES.
     up = (pltpu.roll(W[0], LANES - t, 0),
           pltpu.roll(W[1], LANES - t, 0))                     # V at even
@@ -214,23 +285,23 @@ def _lane_stage_fwd_small(lo, hi, ltl, lth, off, k, t, c, signed):
     return (jnp.where(m, even[0], odd[0]), jnp.where(m, even[1], odd[1]))
 
 
-def _lane_stage_inv_small(lo, hi, ltl, lth, off, k, t, c, signed):
+def _lane_stage_inv_small(lo, hi, lt, off, k, t, c, signed):
     """GS lane stage via masked rolls (see SMALL_T)."""
     R = lo.shape[1]
     q2 = (c["q2l"], c["q2h"])
-    S = _expand_tw(ltl, lth, off, k, t, R)
+    S, Sp = _tw_pick(lt, lambda p: _expand_tw(p, off, k, t, R), signed)
     x = (lo, hi)
     vup = (pltpu.roll(lo, LANES - t, 0),
            pltpu.roll(hi, LANES - t, 0))                      # V at even
     diff = _cond_sub(u64.sub(u64.add(x, q2), vup), q2)        # U-V at even
-    W = _mm(diff, S, c, signed)
+    W = _tw_mul(diff, S, Sp, c, signed)
     even = _cond_sub(u64.add(x, vup), q2)
     Wdn = (pltpu.roll(W[0], t, 0), pltpu.roll(W[1], t, 0))    # W at odd
     m = _even_mask(t, R)
     return (jnp.where(m, even[0], Wdn[0]), jnp.where(m, even[1], Wdn[1]))
 
 
-def _lane_stages_fwd(lo, hi, ltl, lth, c, logN, signed,
+def _lane_stages_fwd(lo, hi, lt, c, logN, signed,
                      l_lo=0, l_hi=LANE_STAGES):
     """The last 7 CT stages, on the TRANSPOSED [128, R] view."""
     R = lo.shape[0]
@@ -243,15 +314,15 @@ def _lane_stages_fwd(lo, hi, ltl, lth, c, logN, signed,
             continue
         t = LANES // (2 * k)
         if t < SMALL_T:
-            lo, hi = _lane_stage_fwd_small(lo, hi, ltl, lth, off, k, t,
+            lo, hi = _lane_stage_fwd_small(lo, hi, lt, off, k, t,
                                            c, signed)
             continue
         vl = lo.reshape(k, 2, t, R)
         vh = hi.reshape(k, 2, t, R)
         U = (vl[:, 0], vh[:, 0])
         O = (vl[:, 1], vh[:, 1])
-        S = (ltl[off:off + k][:, None, :], lth[off:off + k][:, None, :])
-        V = _mm(O, S, c, signed)
+        S, Sp = _tw_pick(lt, lambda p: p[off:off + k][:, None, :], signed)
+        V = _tw_mul(O, S, Sp, c, signed)
         even = _cond_sub(u64.add(U, V), q2)
         odd = _cond_sub(u64.sub(u64.add(U, q2), V), q2)
         lo = jnp.stack([even[0], odd[0]], axis=1).reshape(LANES, R)
@@ -259,7 +330,7 @@ def _lane_stages_fwd(lo, hi, ltl, lth, c, logN, signed,
     return lo.T, hi.T
 
 
-def _lane_stages_inv(lo, hi, ltl, lth, c, logN, signed,
+def _lane_stages_inv(lo, hi, lt, c, logN, signed,
                      l_lo=0, l_hi=LANE_STAGES):
     """The first 7 Gentleman-Sande stages, transposed view."""
     R = lo.shape[0]
@@ -271,23 +342,23 @@ def _lane_stages_inv(lo, hi, ltl, lth, c, logN, signed,
         off, k = int(offsets[i]), int(ks[i])
         t = LANES // (2 * k)
         if t < SMALL_T:
-            lo, hi = _lane_stage_inv_small(lo, hi, ltl, lth, off, k, t,
+            lo, hi = _lane_stage_inv_small(lo, hi, lt, off, k, t,
                                            c, signed)
             continue
         vl = lo.reshape(k, 2, t, R)
         vh = hi.reshape(k, 2, t, R)
         U = (vl[:, 0], vh[:, 0])
         V = (vl[:, 1], vh[:, 1])
-        S = (ltl[off:off + k][:, None, :], lth[off:off + k][:, None, :])
+        S, Sp = _tw_pick(lt, lambda p: p[off:off + k][:, None, :], signed)
         O = _cond_sub(u64.sub(u64.add(U, q2), V), q2)
-        W = _mm(O, S, c, signed)
+        W = _tw_mul(O, S, Sp, c, signed)
         even = _cond_sub(u64.add(U, V), q2)
         lo = jnp.stack([even[0], W[0]], axis=1).reshape(LANES, R)
         hi = jnp.stack([even[1], W[1]], axis=1).reshape(LANES, R)
     return lo.T, hi.T
 
 
-def _row_stages_inv(lo, hi, rtl, rth, c, logN, signed, s_lo=0, s_hi=None):
+def _row_stages_inv(lo, hi, rt, c, logN, signed, s_lo=0, s_hi=None):
     """Gentleman-Sande stages with t >= 128, natural [R, 128] view."""
     R = lo.shape[0]
     q2 = (c["q2l"], c["q2h"])
@@ -296,15 +367,18 @@ def _row_stages_inv(lo, hi, rtl, rth, c, logN, signed, s_lo=0, s_hi=None):
     for s in reversed(range(s_lo, s_hi)):
         m = 1 << s
         th = R // (2 * m)
+        if th < SMALL_T and m < BIG_M:
+            lo, hi = _row_stage_inv_small(lo, hi, rt, s, m, th, c, signed)
+            continue
         if th == 1 and m < BIG_M:
             vl = lo.reshape(m, 2, LANES)
             vh = hi.reshape(m, 2, LANES)
             U = (vl[:, 0], vh[:, 0])
             V = (vl[:, 1], vh[:, 1])
-            S = (jnp.swapaxes(rtl[s], 0, 1)[:m],
-                 jnp.swapaxes(rth[s], 0, 1)[:m])
+            S, Sp = _tw_pick(rt, lambda p: jnp.swapaxes(p[s], 0, 1)[:m],
+                             signed)
             O = _cond_sub(u64.sub(u64.add(U, q2), V), q2)
-            W = _mm(O, S, c, signed)
+            W = _tw_mul(O, S, Sp, c, signed)
             even = _cond_sub(u64.add(U, V), q2)
             lo = jnp.stack([even[0], W[0]], axis=1).reshape(R, LANES)
             hi = jnp.stack([even[1], W[1]], axis=1).reshape(R, LANES)
@@ -316,14 +390,15 @@ def _row_stages_inv(lo, hi, rtl, rth, c, logN, signed, s_lo=0, s_hi=None):
         O = _cond_sub(u64.sub(u64.add(U, q2), V), q2)
         if m >= BIG_M:
             Ot = (O[0].reshape(R // 2, LANES).T, O[1].reshape(R // 2, LANES).T)
-            Wt = _mm(Ot, (rtl[s], rth[s]), c, signed)
+            S, Sp = _tw_pick(rt, lambda p: p[s], signed)
+            Wt = _tw_mul(Ot, S, Sp, c, signed)
             W = (Wt[0].T.reshape(m, th, LANES), Wt[1].T.reshape(m, th, LANES))
         else:
-            rtl_s = jnp.swapaxes(rtl[s], 0, 1)
-            rth_s = jnp.swapaxes(rth[s], 0, 1)
-            S = (rtl_s[:m * th].reshape(m, th, 1),
-                 rth_s[:m * th].reshape(m, th, 1))
-            W = _mm(O, S, c, signed)
+            S, Sp = _tw_pick(
+                rt,
+                lambda p: jnp.swapaxes(p[s], 0, 1)[:m * th].reshape(m, th, 1),
+                signed)
+            W = _tw_mul(O, S, Sp, c, signed)
         even = _cond_sub(u64.add(U, V), q2)
         lo = jnp.stack([even[0], W[0]], axis=1).reshape(R, LANES)
         hi = jnp.stack([even[1], W[1]], axis=1).reshape(R, LANES)
@@ -339,10 +414,17 @@ def _row_stages_inv(lo, hi, rtl, rth, c, logN, signed, s_lo=0, s_hi=None):
 
 def _read_consts(cref):
     ch = pl.program_id(1)
-    return {
+    c = {
         "ql": cref[0, ch], "qh": cref[1, ch], "kl": cref[2, ch],
         "kh": cref[3, ch], "q2l": cref[4, ch], "q2h": cref[5, ch],
     }
+    c["q"] = u64.shr((c["q2l"], c["q2h"]), 1)   # for the Shoup path
+    return c
+
+
+def _tw_planes(ref):
+    """Plane rows of a twiddle ref: 2 (Montgomery) or 4 (w + Shoup wp)."""
+    return tuple(ref[i, 0] for i in range(ref.shape[0]))
 
 
 def _final_reduce(lo, hi, c):
@@ -378,10 +460,10 @@ def _ntt_kernel(cref, x_ref, rowtw_ref, lanetw_ref, o_ref, *,
         S = (cref[6, ch], cref[7, ch])
         lo, hi = _mm((lo, hi), S, c, signed)
     if do_rows:
-        lo, hi = _row_stages_fwd(lo, hi, rowtw_ref[0, 0], rowtw_ref[1, 0],
+        lo, hi = _row_stages_fwd(lo, hi, _tw_planes(rowtw_ref),
                                  c, logN, signed, s_lo=row_lo, s_hi=row_hi)
     if do_lanes:
-        lo, hi = _lane_stages_fwd(lo, hi, lanetw_ref[0, 0], lanetw_ref[1, 0],
+        lo, hi = _lane_stages_fwd(lo, hi, _tw_planes(lanetw_ref),
                                   c, logN, signed, l_lo=l_lo, l_hi=l_hi)
     if post_reduce and do_lanes:
         lo, hi = _final_reduce(lo, hi, c)
@@ -397,10 +479,10 @@ def _intt_kernel(cref, x_ref, rowtw_ref, lanetw_ref, o_ref, *,
     lo = x_ref[0, 0, 0]
     hi = x_ref[1, 0, 0]
     if do_lanes:
-        lo, hi = _lane_stages_inv(lo, hi, lanetw_ref[0, 0], lanetw_ref[1, 0],
+        lo, hi = _lane_stages_inv(lo, hi, _tw_planes(lanetw_ref),
                                   c, logN, signed, l_lo=l_lo, l_hi=l_hi)
     if do_rows:
-        lo, hi = _row_stages_inv(lo, hi, rowtw_ref[0, 0], rowtw_ref[1, 0],
+        lo, hi = _row_stages_inv(lo, hi, _tw_planes(rowtw_ref),
                                  c, logN, signed, s_lo=row_lo, s_hi=row_hi)
         if row_lo == 0 and not no_norm:
             ch = pl.program_id(1)
@@ -435,6 +517,7 @@ def _ntt_mulacc_kernel(cref, x_ref, rowtw_ref, lanetw_ref, k0_ref, k1_ref,
         "ql": cref[0, ch], "qh": cref[1, ch], "kl": cref[2, ch],
         "kh": cref[3, ch], "q2l": cref[4, ch], "q2h": cref[5, ch],
     }
+    c["q"] = u64.shr((c["q2l"], c["q2h"]), 1)
     q2 = (c["q2l"], c["q2h"])
     lo = x_ref[0, 0, 0]
     hi = x_ref[1, 0, 0]
@@ -450,10 +533,8 @@ def _ntt_mulacc_kernel(cref, x_ref, rowtw_ref, lanetw_ref, k0_ref, k1_ref,
     lo = jnp.where(neg, fl, lo)
     hi = jnp.where(neg, fh, hi)
 
-    lo, hi = _row_stages_fwd(lo, hi, rowtw_ref[0, 0], rowtw_ref[1, 0],
-                             c, logN, False)
-    lo, hi = _lane_stages_fwd(lo, hi, lanetw_ref[0, 0], lanetw_ref[1, 0],
-                              c, logN, False)
+    lo, hi = _row_stages_fwd(lo, hi, _tw_planes(rowtw_ref), c, logN, False)
+    lo, hi = _lane_stages_fwd(lo, hi, _tw_planes(lanetw_ref), c, logN, False)
 
     k0 = (k0_ref[0, 0, 0], k0_ref[1, 0, 0])
     k1 = (k1_ref[0, 0, 0], k1_ref[1, 0, 0])
@@ -717,10 +798,12 @@ def ntt_ksk_accum(ext, k0_full, k1_full, plan, ident, level, part_off,
             pl.BlockSpec((2, 1, 1, R, LANES),
                          lambda ch, p: (0, p, ch, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 1, n_row, 1, plan.row_tw.shape[4]),
+            pl.BlockSpec((plan.row_tw.shape[0], 1, n_row, 1,
+                          plan.row_tw.shape[4]),
                          lambda ch, p: (0, ch, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 1, n_lane, R), lambda ch, p: (0, ch, 0, 0),
+            pl.BlockSpec((plan.lane_tw.shape[0], 1, n_lane, R),
+                         lambda ch, p: (0, ch, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 1, 1, R, LANES),
                          lambda ch, p: (0, p + part_off, ch + level, 0, 0),
@@ -764,10 +847,11 @@ def _call(kernel, a, consts, row_tw, lane_tw, interpret):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((2, 1, 1, R, LANES), lambda b, c: (0, b, c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 1, n_row, 1, row_tw.shape[4]),
+            pl.BlockSpec((row_tw.shape[0], 1, n_row, 1, row_tw.shape[4]),
                          lambda b, c: (0, c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 1, n_lane, R), lambda b, c: (0, c, 0, 0),
+            pl.BlockSpec((lane_tw.shape[0], 1, n_lane, R),
+                         lambda b, c: (0, c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((2, 1, 1, R, LANES),
@@ -808,10 +892,10 @@ def _call_lanes(kernel, a, consts, row_tw, lane_tw, interpret,
             pl.BlockSpec((2, 1, 1, tile_r, LANES),
                          lambda b, c, r: (0, b, c, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 1, n_row, 1, row_tw.shape[4]),
+            pl.BlockSpec((row_tw.shape[0], 1, n_row, 1, row_tw.shape[4]),
                          lambda b, c, r: (0, c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 1, n_lane, tile_r),
+            pl.BlockSpec((lane_tw.shape[0], 1, n_lane, tile_r),
                          lambda b, c, r: (0, c, 0, r),
                          memory_space=pltpu.VMEM),
         ],
@@ -935,6 +1019,11 @@ def ntt(a, plan, signed=False, pre_enter=False, post_reduce=False,
     """Forward NTT over packed [2, C, N] or batched [2, B, C, N]."""
     from .. import config
 
+    if signed and plan.row_tw.shape[0] == 4:
+        raise ValueError(
+            "signed transforms need the Montgomery twiddle planes; this "
+            "plan was built with Shoup (plain-w) planes "
+            "(config.use_shoup_twiddles)")
     if plan.mesh is not None:
         return _sharded_transform(
             ntt, a, plan, dict(signed=signed, pre_enter=pre_enter,
@@ -1002,6 +1091,11 @@ def intt(a, plan, signed=False, post_exit=False, post_reduce=False,
 
     assert not (no_norm and (post_exit or post_reduce)), \
         "no_norm skips the exit chain entirely"
+    if signed and plan.row_itw.shape[0] == 4:
+        raise ValueError(
+            "signed transforms need the Montgomery twiddle planes; this "
+            "plan was built with Shoup (plain-w) planes "
+            "(config.use_shoup_twiddles)")
     if plan.mesh is not None:
         return _sharded_transform(
             intt, a, plan, dict(signed=signed, post_exit=post_exit,
@@ -1100,12 +1194,36 @@ def _pack_u64(arr):
                      (arr >> np.uint64(32)).astype(np.uint32)])
 
 
-def make_plan(logN, q, k, Rs, Ninv, psi_bank_mont, ipsi_bank_mont):
+def _shoup_bank(bank_plain, q_list):
+    """wp = floor(w * 2^64 / q) per channel row; native C++ when present,
+    Python ints otherwise (small/test shapes)."""
+    from .. import native
+
+    bank_plain = np.asarray(bank_plain, dtype=np.uint64)
+    out = np.empty_like(bank_plain)
+    for ci, q in enumerate(q_list):
+        wp = native.shoup_precompute(bank_plain[ci], int(q))
+        if wp is None:
+            row = bank_plain[ci].astype(object)
+            wp = np.array([(int(w) << 64) // int(q) for w in row],
+                          dtype=np.uint64)
+        out[ci] = wp
+    return out
+
+
+def make_plan(logN, q, k, Rs, Ninv, psi_bank_mont, ipsi_bank_mont,
+              psi_bank_plain=None, ipsi_bank_plain=None):
     """Build a PallasPlan.
 
     q, k: python-int lists (k = -q^{-1} mod R, R = 2^62). Rs = R^2 mod q.
     Ninv = N^{-1}*R mod q. psi banks: [C, N] Montgomery-form bit-reversed
     twiddles (identical lazy representatives to the XLA path).
+
+    When the PLAIN banks are also given, the twiddle planes carry four
+    limb rows [w_lo, w_hi, wp_lo, wp_hi] (wp = floor(w*2^64/q)) and the
+    kernels run the Shoup constant-multiply path — ~2.4x faster twiddle
+    multiplies on the VPU, same values mod q, different [0, 2q)
+    representatives (config.use_shoup_twiddles; benchmarks/ntt_probe6.py).
     """
     C = len(q)
     LB = (1 << 31) - 1
@@ -1129,19 +1247,38 @@ def make_plan(logN, q, k, Rs, Ninv, psi_bank_mont, ipsi_bank_mont):
     consts_ninv[6] = u32row([v & 0xFFFFFFFF for v in Ninv])
     consts_ninv[7] = u32row([v >> 32 for v in Ninv])
 
-    fwd = np.asarray(psi_bank_mont).view(np.uint64) \
-        if np.asarray(psi_bank_mont).dtype == np.int64 \
-        else np.asarray(psi_bank_mont, dtype=np.uint64)
-    inv = np.asarray(ipsi_bank_mont).view(np.uint64) \
-        if np.asarray(ipsi_bank_mont).dtype == np.int64 \
-        else np.asarray(ipsi_bank_mont, dtype=np.uint64)
-    row_tw, lane_tw = build_tw_planes(fwd, logN)
-    row_itw, lane_itw = build_tw_planes(inv, logN)
+    def _u64arr(x):
+        x = np.asarray(x)
+        return x.view(np.uint64) if x.dtype == np.int64 \
+            else x.astype(np.uint64)
+
+    if psi_bank_plain is not None:
+        # Shoup planes: rows [w_lo, w_hi, wp_lo, wp_hi], w PLAIN form.
+        fwd = _u64arr(psi_bank_plain)
+        inv = _u64arr(ipsi_bank_plain)
+        fwd_p = _shoup_bank(fwd, q)
+        inv_p = _shoup_bank(inv, q)
+
+        def planes(w_bank, wp_bank):
+            rw, lw = build_tw_planes(w_bank, logN)
+            rp, lp = build_tw_planes(wp_bank, logN)
+            return (np.concatenate([_pack_u64(rw), _pack_u64(rp)], axis=0),
+                    np.concatenate([_pack_u64(lw), _pack_u64(lp)], axis=0))
+
+        row_tw, lane_tw = planes(fwd, fwd_p)
+        row_itw, lane_itw = planes(inv, inv_p)
+    else:
+        fwd = _u64arr(psi_bank_mont)
+        inv = _u64arr(ipsi_bank_mont)
+        rw, lw = build_tw_planes(fwd, logN)
+        ri, li = build_tw_planes(inv, logN)
+        row_tw, lane_tw = _pack_u64(rw), _pack_u64(lw)
+        row_itw, lane_itw = _pack_u64(ri), _pack_u64(li)
 
     return PallasPlan(
         logN,
         jnp.asarray(consts), jnp.asarray(consts_enter),
         jnp.asarray(consts_ninv),
-        jnp.asarray(_pack_u64(row_tw)), jnp.asarray(_pack_u64(lane_tw)),
-        jnp.asarray(_pack_u64(row_itw)), jnp.asarray(_pack_u64(lane_itw)),
+        jnp.asarray(row_tw), jnp.asarray(lane_tw),
+        jnp.asarray(row_itw), jnp.asarray(lane_itw),
     )

@@ -155,6 +155,46 @@ def select(mask, a, b):
     return (jnp.where(mask, a[0], b[0]), jnp.where(mask, a[1], b[1]))
 
 
+def mulhi64(a, b):
+    """Upper 64 bits of the exact u64 x u64 product."""
+    alo, ahi = a
+    blo, bhi = b
+    ll = mul32_wide(alo, blo)
+    lh = mul32_wide(alo, bhi)
+    hl = mul32_wide(ahi, blo)
+    hh = mul32_wide(ahi, bhi)
+    z = jnp.zeros_like(ll[1])
+    # carry out of bits 32..63: (hi32(ll) + lo32(lh) + lo32(hl)) >> 32
+    mid = add(add((ll[1], z), (lh[0], z)), (hl[0], z))
+    hi = add(hh, (lh[1], z))
+    hi = add(hi, (hl[1], z))
+    return add(hi, (mid[1], z))
+
+
+def mullo64(a, b):
+    """(a * b) mod 2^64."""
+    alo, ahi = a
+    blo, bhi = b
+    ll = mul32_wide(alo, blo)
+    return ll[0], ll[1] + alo * bhi + ahi * blo
+
+
+def shoup_mul(x, w, wp, q):
+    """Modular multiply by the CONSTANT w via Shoup's precomputed
+    quotient wp = floor(w * 2^64 / q): r = w*x - floor(wp*x / 2^64)*q.
+
+    For ANY x < 2^64 the result is in [0, 2q) and congruent to w*x mod q
+    (the quotient estimate is off by at most 1). ~2.4x faster than the
+    Montgomery multiply on the v5e VPU (benchmarks/ntt_probe6.py): three
+    64-bit limb products with short carry chains instead of the REDC's
+    long serial chain. Note the operand domain differs from montmul —
+    montmul(x, w_mont) returns w*x*R^-1*R = w*x only when the twiddle is
+    pre-entered; shoup_mul takes the PLAIN constant.
+    """
+    hi_est = mulhi64(x, wp)
+    return sub(mullo64(x, w), mullo64(hi_est, q))
+
+
 # ---------------------------------------------------------------------------
 # Montgomery core. Constants ql/qh/kl/kh are uint32 (31-bit half limbs of q
 # and k = -q^{-1} mod 2^62), broadcastable against the data.

@@ -20,12 +20,15 @@ from liberate_tpu.ntt.ntt_context import NttContext
 @pytest.fixture()
 def pallas_interpret():
     config.use_pallas = True
+    _shoup_prev = config.use_shoup_twiddles
+    config.use_shoup_twiddles = False  # bit-exact parity mode
     config.pallas_interpret = True
     config.use_fused_switch = True
     try:
         yield
     finally:
         config.use_pallas = None
+        config.use_shoup_twiddles = _shoup_prev
         config.pallas_interpret = False
         config.use_fused_switch = False
 

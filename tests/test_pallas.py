@@ -23,10 +23,13 @@ def setup():
     pack = nc.level_pack(0, -2)  # built with Pallas off -> XLA oracle path
     start, stop = nc.channel_range(0, -2)
     config.use_pallas = True
+    _shoup_prev = config.use_shoup_twiddles
+    config.use_shoup_twiddles = False  # bit-exact parity mode
     try:
         plan = nc._maybe_pallas_plan(np.arange(start, stop))
     finally:
         config.use_pallas = None
+        config.use_shoup_twiddles = _shoup_prev
     C = nc.num_channels(0, -2)
     rng = np.random.default_rng(7)
     qs = np.array(ctx.q, dtype=np.uint64)

@@ -26,10 +26,13 @@ def _setup(logN, num_scales=3, nsp=2):
     pack = nc.level_pack(0, -2)   # XLA oracle (pallas off by default on CPU)
     start, stop = nc.channel_range(0, -2)
     config.use_pallas = True
+    _shoup_prev = config.use_shoup_twiddles
+    config.use_shoup_twiddles = False  # bit-exact parity mode
     try:
         plan = nc._maybe_pallas_plan(np.arange(start, stop))
     finally:
         config.use_pallas = None
+        config.use_shoup_twiddles = _shoup_prev
     C = stop - start
     rng = np.random.default_rng(logN)
     qs = np.array(ctx.q, dtype=np.uint64)
@@ -123,10 +126,13 @@ def test_platinum_width_plan_logN17():
     start, stop = nc.channel_range(0, -2)
     from liberate_tpu import config
     config.use_pallas = True
+    _shoup_prev = config.use_shoup_twiddles
+    config.use_shoup_twiddles = False  # bit-exact parity mode
     try:
         plan = nc._maybe_pallas_plan(np.arange(start, stop))
     finally:
         config.use_pallas = None
+        config.use_shoup_twiddles = _shoup_prev
     assert plan is not None
     C = stop - start
     rng = np.random.default_rng(17)
