@@ -70,8 +70,8 @@ def main():
     # to compile INSIDE the timed region — the differenced time then goes
     # negative (t(k1) includes a remote compile, t(k2) doesn't).
     benchtime.sync(chain(2))
-    iters = 10
-    best = benchtime.diff_time(chain, max(2, iters // 4), iters, trials=2)
+    iters = 40
+    best = benchtime.diff_time(chain, max(2, iters // 4), iters, trials=3)
     assert best > 0, f"A/B config {name}: non-positive diff time {best}"
     err = abs(eng.absmax_error(eng.decrode(state["acc"], sk),
                                m1 * m2 * state["K"]))

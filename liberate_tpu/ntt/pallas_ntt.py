@@ -91,13 +91,21 @@ def build_tw_planes(bank: np.ndarray, logN: int):
         row_tw[:, s, 0, :len(j)] = bank[:, m + j // th]
 
     offsets, ks = lane_tw_offsets(logN)
-    lane_tw = np.zeros((C, int(np.sum(ks)), R), dtype=np.uint64)
+    extras = _lane_extra_rows(logN)
+    lane_tw = np.zeros((C, int(np.sum(ks)) + len(extras), R),
+                       dtype=np.uint64)
     r = np.arange(R)
     for i, (off, k) in enumerate(zip(offsets, ks)):
         s = logN - LANE_STAGES + i
         m = 1 << s
         for j in range(k):
             lane_tw[:, off + j, :] = bank[:, m + r * k + j]
+    # Appended rows: per-LANE twiddles of the small-th row stages that
+    # execute inside the lane kernel's transposed view (value at lane r
+    # = bank[m + r // (2 th)]; see _lane_extra_rows).
+    base = int(np.sum(ks))
+    for j, (s, m, th) in enumerate(extras):
+        lane_tw[:, base + j, :] = bank[:, m + r // (2 * th)]
     return row_tw, lane_tw
 
 
@@ -185,13 +193,83 @@ def _row_stage_inv_small(lo, hi, rt, s, m, th, c, signed):
     return (jnp.where(msk, even[0], Wdn[0]), jnp.where(msk, even[1], Wdn[1]))
 
 
+def _lane_extra_rows(logN):
+    """Row stages executed INSIDE the lane kernel's transposed view.
+
+    The small-th row stages (th < SMALL_T) are the last of the row
+    schedule when R <= 256 (no BIG_M stage follows), i.e. immediately
+    before the lane phase. In the transposed [LANES, R] view their row
+    index lives on the LANE axis, so the per-row twiddle becomes a
+    lane-oriented [1, R] broadcast (the fast Mosaic form — the natural
+    view needs the slow sublane-oriented [R, 1] form) and the pair
+    exchange is a lane roll. Returns (s, m, th) tuples in ascending s.
+    """
+    R = (1 << logN) // LANES
+    if R > 256:
+        # A BIG_M row stage follows the small-th ones: moving them into
+        # the lane kernel would reorder stages. Keep the natural-view
+        # masked form (gold/platinum).
+        return ()
+    n_row = logN - LANE_STAGES
+    out = []
+    for s in range(n_row):
+        m = 1 << s
+        th = max(R // (2 * m), 1)
+        if th < SMALL_T and m < BIG_M:
+            out.append((s, m, th))
+    return tuple(out)
+
+
+def _lane_mask_t(th, R):
+    pos = jax.lax.broadcasted_iota(jnp.uint32, (LANES, R), 1)
+    return (pos & np.uint32(th)) == 0
+
+
+def _row_stage_fwd_small_t(lo, hi, lt, j, th, c, signed):
+    """CT small-th row stage in the TRANSPOSED [LANES, R] view. The
+    per-lane twiddle is a precomputed appended lane_tw row (index
+    base + j; see build_tw_planes), sliced [1, R] — a sublane broadcast
+    of a lane vector, the fast Mosaic form."""
+    R = lo.shape[1]
+    base = LANES - 1  # sum of lane-stage k's == 127
+    q2 = (c["q2l"], c["q2h"])
+    S, Sp = _tw_pick(lt, lambda p: p[base + j:base + j + 1, :], signed)
+    x = (lo, hi)
+    W = _tw_mul(x, S, Sp, c, signed)              # V at odd lanes
+    up = (pltpu.roll(W[0], R - th, 1), pltpu.roll(W[1], R - th, 1))
+    dn = (pltpu.roll(lo, th, 1), pltpu.roll(hi, th, 1))
+    even = _cond_sub(u64.add(x, up), q2)
+    odd = _cond_sub(u64.sub(u64.add(dn, q2), W), q2)
+    msk = _lane_mask_t(th, R)
+    return (jnp.where(msk, even[0], odd[0]), jnp.where(msk, even[1], odd[1]))
+
+
+def _row_stage_inv_small_t(lo, hi, lt, j, th, c, signed):
+    """GS small-th row stage in the TRANSPOSED [LANES, R] view."""
+    R = lo.shape[1]
+    base = LANES - 1
+    q2 = (c["q2l"], c["q2h"])
+    S, Sp = _tw_pick(lt, lambda p: p[base + j:base + j + 1, :], signed)
+    x = (lo, hi)
+    vup = (pltpu.roll(lo, R - th, 1), pltpu.roll(hi, R - th, 1))
+    diff = _cond_sub(u64.sub(u64.add(x, q2), vup), q2)
+    W = _tw_mul(diff, S, Sp, c, signed)
+    even = _cond_sub(u64.add(x, vup), q2)
+    Wdn = (pltpu.roll(W[0], th, 1), pltpu.roll(W[1], th, 1))
+    msk = _lane_mask_t(th, R)
+    return (jnp.where(msk, even[0], Wdn[0]), jnp.where(msk, even[1], Wdn[1]))
+
+
 def _row_stages_fwd(lo, hi, rt, c, logN, signed, s_lo=0, s_hi=None):
     """Cooley-Tukey stages with t >= 128 on the [R, 128] view."""
     R = lo.shape[0]
     q2 = (c["q2l"], c["q2h"])
     if s_hi is None:
         s_hi = logN - LANE_STAGES
+    skip = {e[0] for e in _lane_extra_rows(logN)}
     for s in range(s_lo, s_hi):
+        if s in skip:
+            continue  # executed inside the lane kernel (transposed view)
         m = 1 << s
         th = R // (2 * m)
         if th < SMALL_T and m < BIG_M:
@@ -302,12 +380,17 @@ def _lane_stage_inv_small(lo, hi, lt, off, k, t, c, signed):
 
 
 def _lane_stages_fwd(lo, hi, lt, c, logN, signed,
-                     l_lo=0, l_hi=LANE_STAGES):
-    """The last 7 CT stages, on the TRANSPOSED [128, R] view."""
+                     l_lo=0, l_hi=LANE_STAGES, rt=None):
+    """The last 7 CT stages, on the TRANSPOSED [128, R] view. When ``rt``
+    (the row twiddle planes) is given, the trailing small-th ROW stages
+    run here first, in the transposed view (see _lane_extra_rows)."""
     R = lo.shape[0]
     q2 = (c["q2l"], c["q2h"])
     lo = lo.T
     hi = hi.T
+    if rt is not None:
+        for j, (s, m, th) in enumerate(_lane_extra_rows(logN)):
+            lo, hi = _row_stage_fwd_small_t(lo, hi, lt, j, th, c, signed)
     offsets, ks = lane_tw_offsets(logN)
     for i, (off, k) in enumerate(zip(offsets, ks)):
         if not (l_lo <= i < l_hi):
@@ -331,8 +414,11 @@ def _lane_stages_fwd(lo, hi, lt, c, logN, signed,
 
 
 def _lane_stages_inv(lo, hi, lt, c, logN, signed,
-                     l_lo=0, l_hi=LANE_STAGES):
-    """The first 7 Gentleman-Sande stages, transposed view."""
+                     l_lo=0, l_hi=LANE_STAGES, rt=None):
+    """The first 7 Gentleman-Sande stages, transposed view. When ``rt``
+    is given, the leading small-th ROW stages (the last of the forward
+    schedule, so the FIRST of the inverse) run here after the lane
+    stages, still transposed (see _lane_extra_rows)."""
     R = lo.shape[0]
     q2 = (c["q2l"], c["q2h"])
     lo = lo.T
@@ -355,6 +441,13 @@ def _lane_stages_inv(lo, hi, lt, c, logN, signed,
         even = _cond_sub(u64.add(U, V), q2)
         lo = jnp.stack([even[0], W[0]], axis=1).reshape(LANES, R)
         hi = jnp.stack([even[1], W[1]], axis=1).reshape(LANES, R)
+    if rt is not None:
+        # GS order: these (the last forward row stages) come right after
+        # the lane stages, highest s first.
+        extras = _lane_extra_rows(logN)
+        for j in reversed(range(len(extras))):
+            th = extras[j][2]
+            lo, hi = _row_stage_inv_small_t(lo, hi, lt, j, th, c, signed)
     return lo.T, hi.T
 
 
@@ -364,7 +457,10 @@ def _row_stages_inv(lo, hi, rt, c, logN, signed, s_lo=0, s_hi=None):
     q2 = (c["q2l"], c["q2h"])
     if s_hi is None:
         s_hi = logN - LANE_STAGES
+    skip = {e[0] for e in _lane_extra_rows(logN)}
     for s in reversed(range(s_lo, s_hi)):
+        if s in skip:
+            continue  # executed inside the lane kernel (transposed view)
         m = 1 << s
         th = R // (2 * m)
         if th < SMALL_T and m < BIG_M:
@@ -458,13 +554,20 @@ def _ntt_kernel(cref, x_ref, rowtw_ref, lanetw_ref, o_ref, *,
     if pre_enter and do_rows and row_lo == 0:
         ch = pl.program_id(1)
         S = (cref[6, ch], cref[7, ch])
-        lo, hi = _mm((lo, hi), S, c, signed)
+        if rowtw_ref.shape[0] == 4 and not signed:
+            # Shoup plan: rows 6..9 = (R mod q, wp) -> x*R in one
+            # cheap constant multiply (vs montmul by R^2).
+            Sp = (cref[8, ch], cref[9, ch])
+            lo, hi = u64.shoup_mul((lo, hi), S, Sp, c["q"])
+        else:
+            lo, hi = _mm((lo, hi), S, c, signed)
     if do_rows:
         lo, hi = _row_stages_fwd(lo, hi, _tw_planes(rowtw_ref),
                                  c, logN, signed, s_lo=row_lo, s_hi=row_hi)
     if do_lanes:
         lo, hi = _lane_stages_fwd(lo, hi, _tw_planes(lanetw_ref),
-                                  c, logN, signed, l_lo=l_lo, l_hi=l_hi)
+                                  c, logN, signed, l_lo=l_lo, l_hi=l_hi,
+                                  rt=_tw_planes(rowtw_ref))
     if post_reduce and do_lanes:
         lo, hi = _final_reduce(lo, hi, c)
     o_ref[0, 0, 0] = lo
@@ -480,17 +583,28 @@ def _intt_kernel(cref, x_ref, rowtw_ref, lanetw_ref, o_ref, *,
     hi = x_ref[1, 0, 0]
     if do_lanes:
         lo, hi = _lane_stages_inv(lo, hi, _tw_planes(lanetw_ref),
-                                  c, logN, signed, l_lo=l_lo, l_hi=l_hi)
+                                  c, logN, signed, l_lo=l_lo, l_hi=l_hi,
+                                  rt=_tw_planes(rowtw_ref))
     if do_rows:
         lo, hi = _row_stages_inv(lo, hi, _tw_planes(rowtw_ref),
                                  c, logN, signed, s_lo=row_lo, s_hi=row_hi)
         if row_lo == 0 and not no_norm:
             ch = pl.program_id(1)
-            S = (cref[6, ch], cref[7, ch])  # Ninv (Montgomery form)
-            lo, hi = _mm((lo, hi), S, c, signed)
-            if post_exit:
-                f = u64.montredc_signed if signed else u64.montredc
-                lo, hi = f((lo, hi), c["ql"], c["qh"], c["kl"], c["kh"])
+            if cref.shape[0] == 14 and not signed:
+                # Shoup consts: rows 6..9 = (Ninv, wp); rows 10..13 =
+                # (Ninv*R^-1, wp) — norm and Montgomery exit FUSED into
+                # one constant multiply.
+                r0 = 10 if post_exit else 6
+                S = (cref[r0, ch], cref[r0 + 1, ch])
+                Sp = (cref[r0 + 2, ch], cref[r0 + 3, ch])
+                lo, hi = u64.shoup_mul((lo, hi), S, Sp, c["q"])
+            else:
+                S = (cref[6, ch], cref[7, ch])  # Ninv (Montgomery form)
+                lo, hi = _mm((lo, hi), S, c, signed)
+                if post_exit:
+                    f = u64.montredc_signed if signed else u64.montredc
+                    lo, hi = f((lo, hi), c["ql"], c["qh"],
+                               c["kl"], c["kh"])
             if post_reduce:
                 lo, hi = _final_reduce(lo, hi, c)
     o_ref[0, 0, 0] = lo
@@ -534,7 +648,8 @@ def _ntt_mulacc_kernel(cref, x_ref, rowtw_ref, lanetw_ref, k0_ref, k1_ref,
     hi = jnp.where(neg, fh, hi)
 
     lo, hi = _row_stages_fwd(lo, hi, _tw_planes(rowtw_ref), c, logN, False)
-    lo, hi = _lane_stages_fwd(lo, hi, _tw_planes(lanetw_ref), c, logN, False)
+    lo, hi = _lane_stages_fwd(lo, hi, _tw_planes(lanetw_ref), c, logN,
+                              False, rt=_tw_planes(rowtw_ref))
 
     k0 = (k0_ref[0, 0, 0], k0_ref[1, 0, 0])
     k1 = (k1_ref[0, 0, 0], k1_ref[1, 0, 0])
@@ -1065,17 +1180,27 @@ def _norm_exit_external(out, plan, signed, post_exit, post_reduce):
     one multiply at logN=15 C=17 on v5e — benchmarks/ntt_probe2.py)."""
     cn = plan.consts_ninv
     shp = (slice(None),) + (None,) * (out.ndim - 3) + (slice(None), None)
-    ql, qh = cn[0][shp[1:]], cn[1][shp[1:]]
-    kl, kh = cn[2][shp[1:]], cn[3][shp[1:]]
-    S = (cn[6][shp[1:]], cn[7][shp[1:]])
+    bc = shp[1:]
     v = (out[0], out[1])
-    if signed:
-        v = u64.montmul_signed(v, S, ql, qh, kl, kh)
+    if cn.shape[0] == 14 and not signed:
+        # Shoup consts (see make_plan): norm (+ fused Montgomery exit)
+        # as one constant multiply.
+        r0 = 10 if post_exit else 6
+        S = (cn[r0][bc], cn[r0 + 1][bc])
+        Sp = (cn[r0 + 2][bc], cn[r0 + 3][bc])
+        q = u64.shr((cn[4][bc], cn[5][bc]), 1)
+        v = u64.shoup_mul(v, S, Sp, q)
     else:
-        v = u64.montmul(S, v, ql, qh, kl, kh)
-    if post_exit:
-        f = u64.montredc_signed if signed else u64.montredc
-        v = f(v, ql, qh, kl, kh)
+        ql, qh = cn[0][bc], cn[1][bc]
+        kl, kh = cn[2][bc], cn[3][bc]
+        S = (cn[6][bc], cn[7][bc])
+        if signed:
+            v = u64.montmul_signed(v, S, ql, qh, kl, kh)
+        else:
+            v = u64.montmul(S, v, ql, qh, kl, kh)
+        if post_exit:
+            f = u64.montredc_signed if signed else u64.montredc
+            v = f(v, ql, qh, kl, kh)
     out = jnp.stack([v[0], v[1]])
     if post_reduce:
         out = _reduce_external(out, plan)
@@ -1258,6 +1383,32 @@ def make_plan(logN, q, k, Rs, Ninv, psi_bank_mont, ipsi_bank_mont,
         inv = _u64arr(ipsi_bank_plain)
         fwd_p = _shoup_bank(fwd, q)
         inv_p = _shoup_bank(inv, q)
+
+        # Shoup scalar constants. Enter: x -> x*R via w = R mod q
+        # (replaces montmul by R^2). Norm: x -> x*Ninv via w = Ninv
+        # plain; norm+exit FUSED: x -> x*Ninv*R^-1 in ONE multiply
+        # (replaces montmul(Ninv*R) + montredc). Layout: consts_enter
+        # rows 6..9 = (w, wp); consts_ninv rows 6..9 = (Ninv, wp),
+        # rows 10..13 = (Ninv*R^-1, wp).
+        R64 = 1 << 62
+
+        def wrow(ws, qs_):
+            wps = [(int(w) << 64) // int(qq) for w, qq in zip(ws, qs_)]
+            return [u32row([int(w) & 0xFFFFFFFF for w in ws]),
+                    u32row([int(w) >> 32 for w in ws]),
+                    u32row([wp & 0xFFFFFFFF for wp in wps]),
+                    u32row([wp >> 32 for wp in wps])]
+
+        w_enter = [R64 % qq for qq in q]
+        consts_enter[6:10] = wrow(w_enter, q)
+        rinvs = [pow(R64, -1, qq) for qq in q]
+        ninv_plain = [(int(n) * ri) % qq
+                      for n, ri, qq in zip(Ninv, rinvs, q)]
+        ninv_exit = [(n * ri) % qq
+                     for n, ri, qq in zip(ninv_plain, rinvs, q)]
+        consts_ninv = np.concatenate(
+            [consts_ninv[:6], np.stack(wrow(ninv_plain, q)),
+             np.stack(wrow(ninv_exit, q))], axis=0)
 
         def planes(w_bank, wp_bank):
             rw, lw = build_tw_planes(w_bank, logN)

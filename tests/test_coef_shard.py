@@ -159,6 +159,10 @@ def test_coef_sharded_2d_mesh_pallas_bit_exact():
 
     config.use_pallas = True
     config.pallas_interpret = True
+    _shoup_prev = config.use_shoup_twiddles
+    config.use_shoup_twiddles = False  # bit-exact parity: the oracle
+    # pack's pallas plan and the coef locals must agree on the twiddle
+    # multiply's [0, 2q) representatives (coef planes are Montgomery).
     try:
         pack, plan, a, a_sh, sh = _setup_2d(11, 2, 4, pallas=True)
         f_want = ops.ntt(a, pack)
@@ -168,6 +172,7 @@ def test_coef_sharded_2d_mesh_pallas_bit_exact():
     finally:
         config.use_pallas = None
         config.pallas_interpret = False
+        config.use_shoup_twiddles = _shoup_prev
 
 
 @pytest.mark.slow
@@ -232,6 +237,10 @@ def test_coef_sharded_pallas_local_bit_exact():
     pack, _, a, _ = _setup(logN, S)
     config.use_pallas = True
     config.pallas_interpret = True
+    _shoup_prev = config.use_shoup_twiddles
+    config.use_shoup_twiddles = False  # bit-exact parity: the oracle
+    # pack's pallas plan and the coef locals must agree on the twiddle
+    # multiply's [0, 2q) representatives (coef planes are Montgomery).
     try:
         ctx = CkksContext(logN=logN, scale_bits=30, num_scales=3,
                           num_special_primes=2, is_secured=False)
@@ -255,3 +264,4 @@ def test_coef_sharded_pallas_local_bit_exact():
     finally:
         config.use_pallas = None
         config.pallas_interpret = False
+        config.use_shoup_twiddles = _shoup_prev
