@@ -69,6 +69,14 @@ use_fused_moddown = False
 # (see pallas_ntt MXU notes / docs/DESIGN.md 6).
 use_mxu_ntt = False
 
+# Fused Pallas MXU kernels for the matmul NTT backend (mxu_pallas.py):
+# the whole digitize -> int8 MXU matmul -> recombine -> twiddle ->
+# matmul -> recombine chain of one channel runs VMEM-resident in one
+# kernel, instead of the XLA einsum composition whose int32 digit
+# intermediates round-trip HBM. Only meaningful with use_mxu_ntt=True;
+# bit-exact with the XLA composition (tests/test_mxu_pallas.py).
+use_mxu_pallas = True
+
 # Phase-split transforms: run the row-stage and lane-stage phases of the
 # fused NTT/iNTT as SEPARATE Pallas kernels at every size (the logN>=16
 # path always splits), and hoist the iNTT's N^-1-normalize / Montgomery-
@@ -113,6 +121,34 @@ use_tiled_extend = True
 # Bit-exact (tests/test_engine.py::test_tiled_rescale_bit_exact).
 # ON: 25.4 vs 26.8 ms base alone (round-3 on-device A/B at silver).
 use_tiled_rescale = True
+
+# Shoup-form (plain-domain) pointwise chains. Like use_shoup_twiddles,
+# these replace Montgomery constant-multiplies with Shoup precomputed-
+# quotient multiplies (u64.shoup_mul / u64.barrett_2q) — same values
+# mod q, different [0, 2q) lazy representatives, ~30-50% fewer VPU ops
+# per element on the chain they cover. OFF restores the bit-exact
+# reference-parity Montgomery chains (tests/test_shoup_chains.py pins
+# mod-q equivalence of every pair).
+#
+# use_shoup_moddown: the key-switch special-prime removal runs entirely
+# in the plain domain — no Montgomery enter, the dropped-channel tile is
+# Barrett-reduced, each P_j^{-1} multiply is a Shoup multiply, and the
+# final Montgomery exit disappears.
+use_shoup_moddown = True
+
+# use_shoup_rescale: (d - s) * q_l^{-1} with s Barrett-reduced per target
+# channel and the scalar multiply in Shoup form.
+use_shoup_rescale = True
+
+# use_shoup_extend: the key-switch basis extension emits PLAIN-domain
+# [0, 2q) unsigned outputs (divided-difference terms are offset by 2^63
+# and corrected with a per-channel constant instead of running the
+# signed Montgomery path), which also removes the canon + identity-
+# multiply pre-stage from the switch NTT kernels and turns the
+# post-accumulation iNTT exit into a plain reduce. Applies on the Pallas
+# and XLA paths; the MXU / coef-sharded backends keep the Montgomery
+# chain (their domain bookkeeping differs).
+use_shoup_extend = True
 
 # Tiled (4-D view) XLA mod-down: the same composed chain computed on a
 # [2, C, N/128, 128] view, so the dropped-channel broadcast operand is

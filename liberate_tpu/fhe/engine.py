@@ -225,6 +225,98 @@ def _rescale_core_tiled(d, rs, round_half, pack_next):
     return u64.pack(out[0].reshape(W, N), out[1].reshape(W, N))
 
 
+@jax.jit
+def _rescale_core_shoup(d, rs_sh, bp, round_half, pack_next):
+    """_rescale_core in the plain (Shoup) domain: the dropped-channel
+    broadcast is Barrett-reduced per surviving channel and the q_l^{-1}
+    multiply is a Shoup constant multiply (config.use_shoup_rescale) —
+    same values mod q as the Montgomery chain (the trailing canonical
+    reduce makes the outputs bit-identical; tests/test_shoup_chains.py),
+    ~25% fewer VPU ops per element."""
+    w, wp = rs_sh
+    W = pack_next.q2.shape[1]
+    N = d.shape[2]
+    R = N // 128
+    v = (d[0].reshape(-1, R, 128), d[1].reshape(-1, R, 128))
+    s = (v[0][0:1], v[1][0:1])
+    body = (v[0][1:], v[1][1:])
+    C = body[0].shape[0]
+    if W > C:       # fit_channels: repeat the last real channel
+        pad = lambda x: jnp.concatenate(
+            [x, jnp.broadcast_to(x[-1:], (W - C, R, 128))], axis=0)
+        body = (pad(body[0]), pad(body[1]))
+
+    def col(t):
+        return (t[0][:, None, None], t[1][:, None, None])
+
+    q2 = col(pack_next.q2)
+    q = u64.shr(q2, 1)
+    s_b = (jnp.broadcast_to(s[0], body[0].shape),
+           jnp.broadcast_to(s[1], body[1].shape))
+    s_red = u64.barrett_2q(s_b, col(bp), q)    # [0, 2q) per target channel
+    diff = u64.sub(u64.add(body, q2), s_red)   # body + 2q - s_red in [0, 4q)
+    out = u64.shoup_mul(diff, col(w), col(wp), q)
+    if round_half is not None:
+        rh = (round_half[0].reshape(1, 1, 1), round_half[1].reshape(1, 1, 1))
+        gt = ~u64.lt_unsigned(s, rh) & ~u64.eq(s, rh)
+        rounder = jnp.broadcast_to(gt.astype(jnp.uint32), out[0].shape)
+        out = u64.add(out, (rounder, jnp.zeros_like(rounder)))
+    lt = u64.lt_signed(out, q)
+    out = u64.select(lt, out, u64.sub(out, q))
+    return u64.pack(out[0].reshape(W, N), out[1].reshape(W, N))
+
+
+def _mod_down_shoup(d, pack_sp, pack_ord, PiWs, bp, n_sp, C_sp,
+                    W_sp, W_ord):
+    """Special-prime removal entirely in the plain domain
+    (config.use_shoup_moddown): no Montgomery enter, the dropped-channel
+    tile is Barrett-reduced per target channel, every P_j^{-1} multiply
+    is a Shoup constant multiply, and the final Montgomery exit
+    disappears. Same values mod q as the Montgomery chain — the
+    trailing canonical reduce makes the output bit-identical
+    (tests/test_shoup_chains.py) — at ~half the VPU ops per element.
+
+    d: [2, W_sp, N] plain [0, q). Returns [2, W_ord, N] plain [0, q).
+    """
+    N = d.shape[2]
+    R = N // 128
+    v = (d[0].reshape(W_sp, R, 128), d[1].reshape(W_sp, R, 128))
+
+    def col(s):
+        return (s[0][:, None, None], s[1][:, None, None])
+
+    q2 = col(pack_sp.q2)
+    q = u64.shr(q2, 1)
+    bp_c = col(bp)
+    for P_ind in range(n_sp):
+        v = jax.lax.optimization_barrier(v)
+        cur = C_sp - P_ind
+        src = (v[0][cur - 1:cur], v[1][cur - 1:cur])
+        if P_ind:
+            # The dropped channel is subtracted as an INTEGER: it must be
+            # the canonical [0, q) representative, but the prior Shoup
+            # iteration left [0, 2q) — one conditional subtract of the
+            # source row's own modulus. (The Montgomery chain reduces the
+            # full array each iteration; only the tile's integer value
+            # matters.)
+            qr = (q[0][cur - 1:cur], q[1][cur - 1:cur])
+            ge = ~u64.lt_unsigned(src, qr)
+            src = u64.select(ge, u64.sub(src, qr), src)
+        tile = (jnp.broadcast_to(src[0], v[0].shape),
+                jnp.broadcast_to(src[1], v[1].shape))
+        tile = u64.barrett_2q(tile, bp_c, q)
+        s = u64.sub(u64.add(v, q2), tile)      # v + 2q - tile in [0, 4q)
+        w, wp = PiWs[P_ind]
+        v = u64.shoup_mul(s, col(w), col(wp), q)    # back to [0, 2q)
+    v = jax.lax.optimization_barrier(v)
+    vo = (v[0][:W_ord], v[1][:W_ord])
+    q2o = (pack_ord.q2[0][:, None, None], pack_ord.q2[1][:, None, None])
+    qo = u64.shr(q2o, 1)
+    lt = u64.lt_signed(vo, qo)
+    r = u64.select(lt, vo, u64.sub(vo, qo))
+    return u64.pack(r[0].reshape(W_ord, N), r[1].reshape(W_ord, N))
+
+
 def _mod_down_tiled(d, pack_sp, pack_ord, PiRs, enter_ord, n_sp, C_sp,
                     W_sp, W_ord):
     """The composed mod-down chain on a [2, C, N/128, 128] view.
@@ -591,12 +683,20 @@ class CkksEngine:
         P = ctx.q[-self.num_special:][::-1]
         self.PiRs = []
         self.enter_ord = []
+        # Shoup-form (plain-domain) mod-down tables: per special prime a
+        # (P_j^{-1} mod q_i, Shoup quotient) pair, plus the Barrett
+        # reciprocals floor(2^64/q_i) for tile reduction
+        # (config.use_shoup_moddown; same values mod q as PiRs).
+        self.PiWs = []
+        self.bp_sp = []
         for level in range(self.num_levels):
             q_lvl = ctx.q[level:]
             C_sp = len(q_lvl)
             W_sp = self.ntt.padded_channels(level, -2)
             n_ord = C_sp - self.num_special
             per_level = []
+            per_level_sh = []
+            q_pad = list(q_lvl) + [q_lvl[-1]] * (W_sp - C_sp)
             for P_ind, Pj in enumerate(P):
                 live = C_sp - P_ind - 1
                 vals = [(pow(Pj, -1, mi) * R) % mi for mi in q_lvl[:live]]
@@ -604,7 +704,18 @@ class CkksEngine:
                 # Padded rows ride the identity of the repeated last prime.
                 vals += [R % q_lvl[-1]] * (W_sp - C_sp)
                 per_level.append(jnp.asarray(_pack_list(vals)))
+                ws = [pow(Pj, -1, mi) for mi in q_lvl[:live]]
+                ws += [1] * (W_sp - live)
+                per_level_sh.append(_shoup_pack(ws, q_pad))
             self.PiRs.append(per_level)
+            self.PiWs.append(tuple(per_level_sh))
+            # (bp, off0): Barrett reciprocal + the offset correction
+            # 2q - (2^63 mod q) for reducing wrapped-signed u64 values
+            # (extend_shoup's first term; see config.use_shoup_extend).
+            self.bp_sp.append((
+                _barrett_pack(q_pad),
+                jnp.asarray(_pack_list(
+                    [2 * q - ((1 << 63) % q) for q in q_pad]))))
             # "Enter Montgomery on ordinary rows only": x R^2 on ordinary,
             # identity (x R) on special rows.
             vals = [Rs for Rs in ctx.R_square[level:level + n_ord]]
@@ -628,13 +739,28 @@ class CkksEngine:
         each level (reference: ckks_engine.py:123-146)."""
         ctx = self.ctx
         self.rescale_scales = []
+        # Shoup-form tables (config.use_shoup_rescale): plain q_l^{-1}
+        # with Shoup quotients, plus Barrett reciprocals of the surviving
+        # channels for reducing the dropped-channel broadcast.
+        self.rescale_sh = []
+        self.bp_ord = []
         for level in range(self.num_levels):
             m0 = ctx.q[level]
             m = ctx.q[level + 1:self.num_ordinary]
             vals = [(pow(m0, -1, mi) * ctx.R) % mi for mi in m]
+            pad = (self.ntt.padded_channels(level + 1, -1)
+                   if level + 1 < self.num_levels else None)
             self.rescale_scales.append(jnp.asarray(_pack_list(
-                vals, pad_to=self.ntt.padded_channels(level + 1, -1)
-                if level + 1 < self.num_levels else None)))
+                vals, pad_to=pad)))
+            if m:
+                W = pad if pad is not None else len(m)
+                m_pad = list(m) + [m[-1]] * (W - len(m))
+                self.rescale_sh.append(_shoup_pack(
+                    [pow(m0, -1, mi) for mi in m_pad], m_pad))
+                self.bp_ord.append(_barrett_pack(m_pad))
+            else:
+                self.rescale_sh.append(None)
+                self.bp_ord.append(None)
 
     # -- pack helpers ----------------------------------------------------------
 
@@ -1154,7 +1280,56 @@ class CkksEngine:
             return u64.pack(ext[0].reshape(W_sp, -1),
                             ext[1].reshape(W_sp, -1))
 
-        def mod_down(d, pack_sp, pack_ord, PiRs, enter_ord):
+        def extend_shoup(state, le_sh, pack_sp, R, bp_off):
+            """Basis extension in the plain domain
+            (config.use_shoup_extend): emits unsigned [0, 2q), so the
+            switch NTT kernels skip the canon + identity-multiply
+            pre-stage and the post-accumulation iNTT exits to a plain
+            reduce. EVERY term may be wrapped-signed (a rotated ct's
+            permutation negates coefficients), so each is offset by
+            +2^63 before the Barrett/Shoup reduction and corrected with
+            a per-channel constant (2q - (2^63 [* L_i] mod q)); the
+            offset keeps the operand a valid u64 for any |state| < 2^63.
+            Same values mod q as ``extend`` (tests/test_shoup_chains.py).
+            """
+            bp, off0 = bp_off
+
+            def col(s):
+                return (s[0][:, None, None], s[1][:, None, None])
+
+            q2 = col(pack_sp.q2)
+            q = u64.shr(q2, 1)
+
+            def csub(x):             # [0, 4q) -> [0, 2q)
+                over = ~u64.lt_unsigned(x, q2)
+                return u64.select(over, u64.sub(x, q2), x)
+
+            HI = np.uint32(0x80000000)
+            t = (jnp.broadcast_to(state[0][0], (W_sp, R, 128)),
+                 jnp.broadcast_to(state[0][1] + HI, (W_sp, R, 128)))
+            acc = csub(u64.add(u64.barrett_2q(t, col(bp), q), col(off0)))
+            for i in range(len(state) - 1):
+                w, wp, cadj = le_sh[i]
+                w = w[:, lvl:lvl + W_sp]
+                wp = wp[:, lvl:lvl + W_sp]
+                cadj = cadj[:, lvl:lvl + W_sp]
+                u = (jnp.broadcast_to(state[i + 1][0], (W_sp, R, 128)),
+                     jnp.broadcast_to(state[i + 1][1] + HI,
+                                      (W_sp, R, 128)))
+                e = u64.shoup_mul(u, col(w), col(wp), q)
+                e = csub(u64.add(e, col(cadj)))
+                acc = csub(u64.add(acc, e))
+            return u64.pack(acc[0].reshape(W_sp, -1),
+                            acc[1].reshape(W_sp, -1))
+
+        def mod_down(d, pack_sp, pack_ord, PiRs, enter_ord,
+                     PiWs=None, bp=None):
+            if config.use_shoup_moddown and PiWs is not None:
+                return _mod_down_shoup(d, pack_sp, pack_ord, tuple(PiWs),
+                                       bp[0], n_sp, C_sp, W_sp, W_ord)
+            return mod_down_mont(d, pack_sp, pack_ord, PiRs, enter_ord)
+
+        def mod_down_mont(d, pack_sp, pack_ord, PiRs, enter_ord):
             """Divide by P = prod(special primes), one special prime at a
             time (reference: ckks_engine.py:846-901). Invariant: ordinary
             rows ride in Montgomery form, special rows in plain form, so the
@@ -1196,7 +1371,7 @@ class CkksEngine:
         part_off = self.ntt.parts(level)[0].part_id
 
         def fn(a, k0st, k1st, plans, part_packs, pack_sp, pack_ord, PiRs,
-               enter_ord, ident_sp):
+               enter_ord, ident_sp, PiWs, bp_sp, plans_sh):
             # Batch every gadget part through ONE NTT and one pair of ksk
             # multiplies on a [2, P, C_sp, N] array — the TPU-native answer
             # to the reference's per-(device, part) kernel launches
@@ -1206,9 +1381,22 @@ class CkksEngine:
             # [2, P_full, C0_sp, N] (see _ksk_stacked); the active-part
             # suffix + level slice happen in-trace (or, on the fused
             # Pallas path, via block indexing with zero copies).
+            # With config.use_shoup_extend the basis extension emits
+            # PLAIN-domain unsigned [0, 2q) values: the kernels skip the
+            # canon + identity-multiply pre-stage, and the accumulated
+            # products exit via a plain reduce instead of a Montgomery
+            # exit (the ksk halves carry one R factor, the extension
+            # none — the product is plain after the NTT-domain multiply).
+            shoup_ext = (config.use_shoup_extend and pack_sp.mxu is None
+                         and pack_sp.coef is None)
             exts = []
             for idx, (start, alpha) in enumerate(parts_meta):
-                if config.use_tiled_extend:
+                if shoup_ext:
+                    state, R = pre_extend_tiled(a, start, alpha,
+                                                part_packs[idx], plans[idx])
+                    exts.append(extend_shoup(state, plans_sh[idx],
+                                             pack_sp, R, bp_sp))
+                elif config.use_tiled_extend:
                     state, R = pre_extend_tiled(a, start, alpha,
                                                 part_packs[idx], plans[idx])
                     exts.append(extend_tiled(state, plans[idx], pack_sp, R))
@@ -1221,22 +1409,23 @@ class CkksEngine:
             plan = pack_sp.pallas
             if (config.use_fused_switch and plan is not None
                     and pallas_ntt.supports_fused_accum(plan)):
-                # Fused kernel: ident-canon + NTT + both ksk multiplies +
-                # part accumulation, outputs resident in VMEM across the
-                # part loop (see config.use_fused_switch for why this is
-                # off by default on v5e).
+                # Fused kernel: [ident-canon +] NTT + both ksk multiplies
+                # + part accumulation, outputs resident in VMEM across
+                # the part loop.
                 d0, d1 = pallas_ntt.ntt_ksk_accum(
                     ext, k0st, k1st, plan, ident_sp, lvl, part_off,
-                    interpret=config.pallas_interpret)
+                    interpret=config.pallas_interpret,
+                    canon=not shoup_ext)
             else:
-                # Canonicalize the wrapped-negative divided-difference
-                # sums to [0, 2q) (one montmul by the identity R): the
-                # heavy NTT / pointwise ops below then run the unsigned
-                # fast path.
-                ext = ops.canon_2q(
-                    ops.mont_enter_scalar(ext, ident_sp, pack_sp,
-                                          signed=True),
-                    pack_sp)
+                if not shoup_ext:
+                    # Canonicalize the wrapped-negative divided-difference
+                    # sums to [0, 2q) (one montmul by the identity R): the
+                    # heavy NTT / pointwise ops below then run the
+                    # unsigned fast path.
+                    ext = ops.canon_2q(
+                        ops.mont_enter_scalar(ext, ident_sp, pack_sp,
+                                              signed=True),
+                        pack_sp)
                 ext = ops.ntt(ext, pack_sp)
                 k0 = ops.fit_channels(k0st[:, part_off:, lvl:, :], W_sp)
                 k1 = ops.fit_channels(k1st[:, part_off:, lvl:, :], W_sp)
@@ -1247,10 +1436,16 @@ class CkksEngine:
                 for p in range(1, len(parts_meta)):
                     d0 = ops.mont_add(d0, t0[:, p], pack_sp)
                     d1 = ops.mont_add(d1, t1[:, p], pack_sp)
-            d0 = ops.intt_exit_reduce(d0, pack_sp)
-            d1 = ops.intt_exit_reduce(d1, pack_sp)
-            return (mod_down(d0, pack_sp, pack_ord, PiRs, enter_ord),
-                    mod_down(d1, pack_sp, pack_ord, PiRs, enter_ord))
+            if shoup_ext:
+                d0 = ops.intt_reduce(d0, pack_sp)
+                d1 = ops.intt_reduce(d1, pack_sp)
+            else:
+                d0 = ops.intt_exit_reduce(d0, pack_sp)
+                d1 = ops.intt_exit_reduce(d1, pack_sp)
+            return (mod_down(d0, pack_sp, pack_ord, PiRs, enter_ord,
+                             PiWs, bp_sp),
+                    mod_down(d1, pack_sp, pack_ord, PiRs, enter_ord,
+                             PiWs, bp_sp))
 
         jitted = jax.jit(fn)
         self._switcher_cache[key] = jitted
@@ -1262,13 +1457,15 @@ class CkksEngine:
         over the ordinary channels, in plain [0, q)."""
         parts = self.ntt.parts(level)
         plans = tuple((p.Y_scalar, p.L_scalar, p.L_enter) for p in parts)
+        plans_sh = tuple(p.L_enter_sh for p in parts)
         part_packs = tuple(p.pack for p in parts)
         k0st, k1st = self._ksk_stacked(ksk)
         fn = self._switcher_fn(level, exit_ntt)
         return fn(a, k0st, k1st, plans, part_packs,
                   self.pack(level, -2), self.pack(level, -1),
                   tuple(self.PiRs[level]), self.enter_ord[level],
-                  self.mont_identity[level])
+                  self.mont_identity[level], tuple(self.PiWs[level]),
+                  self.bp_sp[level], plans_sh)
 
     def switch_key(self, ct: DataStruct, ksk: DataStruct) -> DataStruct:
         if ct.origin != types.origins["ct"]:
@@ -1294,10 +1491,10 @@ class CkksEngine:
                                            level_max=self.num_levels)
         pack_next = self.pack(next_level, -1)
         rh = self.round_halves[level] if exact_rounding else None
-        core = (_rescale_core_tiled if config.use_tiled_rescale
-                else _rescale_core)
-        c0 = core(ct.data[0], self.rescale_scales[level], rh, pack_next)
-        c1 = core(ct.data[1], self.rescale_scales[level], rh, pack_next)
+        core = self._rescale_core()
+        rs = self._rescale_args(level)
+        c0 = core(ct.data[0], rs, rh, pack_next)
+        c1 = core(ct.data[1], rs, rh, pack_next)
         return DataStruct((c0, c1), False, False, False,
                           types.origins["ct"], next_level, self.hash)
 
@@ -1320,12 +1517,11 @@ class CkksEngine:
         if key in self._switcher_cache:
             return self._switcher_cache[key]
         switch = self._switcher_fn(level + 1, False)
-
-        rescale_core = (_rescale_core_tiled if config.use_tiled_rescale
-                        else _rescale_core)
+        rescale_core = self._rescale_core()
 
         def fn(a0, a1, b0, b1, k0st, k1st, rs, rh, pack_next, plans,
-               part_packs, pack_sp, PiRs, enter_ord, ident):
+               part_packs, pack_sp, PiRs, enter_ord, ident,
+               PiWs, bp_sp, plans_sh):
             x0 = rescale_core(a0, rs, rh, pack_next)
             x1 = rescale_core(a1, rs, rh, pack_next)
             y0 = rescale_core(b0, rs, rh, pack_next)
@@ -1333,12 +1529,30 @@ class CkksEngine:
             d0, d1, d2 = _cc_mult_core(x0, x1, y0, y1, pack_next)
             d0, d1, d2 = _relin_pre(d0, d1, d2, pack_next)
             s0, s1 = switch(d2, k0st, k1st, plans, part_packs,
-                            pack_sp, pack_next, PiRs, enter_ord, ident)
+                            pack_sp, pack_next, PiRs, enter_ord, ident,
+                            PiWs, bp_sp, plans_sh)
             return _relin_post(d0, d1, s0, s1, pack_next)
 
         jitted = jax.jit(fn)
         self._switcher_cache[key] = jitted
         return jitted
+
+    def _rescale_core(self):
+        """Rescale-core variant selected by the config flags. The Shoup
+        core takes ``rs`` as ((w, wp), bp) — see _rescale_args."""
+        if config.use_shoup_rescale:
+            def core(d, rs, rh, pack_next):
+                return _rescale_core_shoup(d, rs[0], rs[1], rh, pack_next)
+            return core
+        core = (_rescale_core_tiled if config.use_tiled_rescale
+                else _rescale_core)
+        return lambda d, rs, rh, pack_next: core(d, rs, rh, pack_next)
+
+    def _rescale_args(self, level: int):
+        """The per-level constants matching _rescale_core()."""
+        if config.use_shoup_rescale:
+            return (self.rescale_sh[level], self.bp_ord[level])
+        return self.rescale_scales[level]
 
     def _use_fused_mult(self) -> bool:
         # One big program is a compile-size liability at platinum width
@@ -1355,15 +1569,17 @@ class CkksEngine:
                                                level_max=self.num_levels)
             parts = self.ntt.parts(nxt)
             plans = tuple((p.Y_scalar, p.L_scalar, p.L_enter) for p in parts)
+            plans_sh = tuple(p.L_enter_sh for p in parts)
             part_packs = tuple(p.pack for p in parts)
             k0st, k1st = self._ksk_stacked(evk)
             fn = self._mult_fused_fn(level)
             c0, c1 = fn(a.data[0], a.data[1], b.data[0], b.data[1],
-                        k0st, k1st, self.rescale_scales[level],
+                        k0st, k1st, self._rescale_args(level),
                         self.round_halves[level], self.pack(nxt, -1),
                         plans, part_packs, self.pack(nxt, -2),
                         tuple(self.PiRs[nxt]), self.enter_ord[nxt],
-                        self.mont_identity[nxt])
+                        self.mont_identity[nxt], tuple(self.PiWs[nxt]),
+                        self.bp_sp[nxt], plans_sh)
             return DataStruct((c0, c1), False, False, False,
                               types.origins["ct"], nxt, self.hash)
         x = self.rescale(a)
@@ -1593,11 +1809,12 @@ class CkksEngine:
         switch = self._switcher_fn(level, False)
 
         def fn(d0, d1, gather, neg, k0st, k1st, plans, part_packs, pack_sp,
-               pack_ord, PiRs, enter_ord, ident):
+               pack_ord, PiRs, enter_ord, ident, PiWs, bp_sp, plans_sh):
             r0 = _rotate_ct_core(d0, gather, neg, pack_ord)
             r1 = _rotate_ct_core(d1, gather, neg, pack_ord)
             s0, s1 = switch(r1, k0st, k1st, plans, part_packs,
-                            pack_sp, pack_ord, PiRs, enter_ord, ident)
+                            pack_sp, pack_ord, PiRs, enter_ord, ident,
+                            PiWs, bp_sp, plans_sh)
             c0 = ops.reduce_2q(ops.mont_add(r0, s0, pack_ord), pack_ord)
             return c0, s1
 
@@ -1610,6 +1827,7 @@ class CkksEngine:
         level = ct.level
         parts = self.ntt.parts(level)
         plans = tuple((p.Y_scalar, p.L_scalar, p.L_enter) for p in parts)
+        plans_sh = tuple(p.L_enter_sh for p in parts)
         part_packs = tuple(p.pack for p in parts)
         k0st, k1st = self._ksk_stacked(rotk)
         gather, neg = self._perm_on_device(perm_key, perm_data)
@@ -1617,7 +1835,8 @@ class CkksEngine:
         c0, c1 = fn(ct.data[0], ct.data[1], gather, neg, k0st, k1st,
                     plans, part_packs, self.pack(level, -2),
                     self.pack(level, -1), tuple(self.PiRs[level]),
-                    self.enter_ord[level], self.mont_identity[level])
+                    self.enter_ord[level], self.mont_identity[level],
+                    tuple(self.PiWs[level]), self.bp_sp[level], plans_sh)
         return DataStruct((c0, c1), ct.include_special, ct.ntt_state,
                           ct.montgomery_state, types.origins["ct"], level,
                           self.hash)
@@ -1969,6 +2188,21 @@ class CkksEngine:
 
 def _pack_scalar(v: int) -> np.ndarray:
     return _pack_list([v])
+
+
+def _shoup_pack(ws, qs, pad_to=None):
+    """Plain constants + Shoup quotients as jnp arrays: for each channel,
+    (w mod q, floor(w * 2^64 / q)). Returns (w [2, C], wp [2, C])."""
+    ws = [int(w) % int(q) for w, q in zip(ws, qs)]
+    wps = [(w << 64) // int(q) for w, q in zip(ws, qs)]
+    return (jnp.asarray(_pack_list(ws, pad_to=pad_to)),
+            jnp.asarray(_pack_list(wps, pad_to=pad_to)))
+
+
+def _barrett_pack(qs, pad_to=None):
+    """floor(2^64 / q) per channel, packed [2, C] (see u64.barrett_2q)."""
+    return jnp.asarray(_pack_list([(1 << 64) // int(q) for q in qs],
+                                  pad_to=pad_to))
 
 
 def _pack_list(vals, pad_to=None, pad_value=None) -> np.ndarray:

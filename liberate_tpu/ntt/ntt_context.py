@@ -68,6 +68,12 @@ class PartPlan(NamedTuple):
     Y_scalar: Optional[jnp.ndarray]       # [2, alpha-1]
     L_scalar: tuple                       # tuple of [2, len] packed
     L_enter: Optional[tuple]              # tuple of [2, C0_sp] packed
+    # Shoup-form basis-extension tables (config.use_shoup_extend): per
+    # divided-difference term a (w, wp, cadj) triple over the full
+    # level-0 with-special layout — w = L_i mod q (plain),
+    # wp = floor(w*2^64/q), cadj = 2q - (2^63 * w mod q) (the offset
+    # correction for wrapped-signed operands). Empty tuple for alpha=1.
+    L_enter_sh: tuple = ()
 
 
 def _pack_ints(vals) -> np.ndarray:
@@ -505,12 +511,25 @@ class NttContext:
                 Rs_ext = (list(ctx.R_square)
                           + [ctx.R_square[-1]] * self.channel_quantum)
                 le = []
+                le_sh = []
                 for i in range(alpha - 1):
                     le.append(jnp.asarray(_pack_ints(
                         [(L[i] * Rs) % q
                          for q, Rs in zip(q_ext, Rs_ext)]
                     )))
+                    ws = [L[i] % q for q in q_ext]
+                    le_sh.append((
+                        jnp.asarray(_pack_ints(ws)),
+                        jnp.asarray(_pack_ints(
+                            [(w << 64) // q for w, q in zip(ws, q_ext)])),
+                        jnp.asarray(_pack_ints(
+                            [2 * q - ((w << 63) % q)
+                             for w, q in zip(ws, q_ext)])),
+                    ))
                 L_enter = tuple(le)
+                L_enter_sh = tuple(le_sh)
+            else:
+                L_enter_sh = ()
 
             plans.append(PartPlan(
                 part_id=part_id,
@@ -521,6 +540,7 @@ class NttContext:
                 Y_scalar=Y_scalar,
                 L_scalar=L_scalar,
                 L_enter=L_enter,
+                L_enter_sh=L_enter_sh,
             ))
             local += alpha
         return plans

@@ -301,10 +301,16 @@ def ntt(a, pack, signed=False):
             a = make_unsigned(a, pack)
         return coef_shard.ntt_coef_sharded(a, pack.coef)
     if pack.mxu is not None:
+        from .. import config
         from . import mxu_ntt
 
         if signed:
             a = make_unsigned(a, pack)
+        if config.use_mxu_pallas and config.pallas_enabled():
+            from . import mxu_pallas
+
+            return mxu_pallas.ntt(a, pack.mxu.resolve(),
+                                  interpret=config.pallas_interpret)
         return mxu_ntt.ntt(a, pack.mxu.resolve())
     if pack.pallas is not None:
         from .. import config
@@ -374,12 +380,18 @@ def intt(a, pack, signed=False):
             a = make_unsigned(a, pack)
         return coef_shard.intt_coef_sharded(a, pack.coef)
     if pack.mxu is not None:
+        from .. import config
         from . import mxu_ntt
 
         if signed:
             a = make_unsigned(a, pack)
         # N^{-1} is folded into the MXU stage-2 table (plain, which equals
         # the classic path's Montgomery Ninv multiply after REDC).
+        if config.use_mxu_pallas and config.pallas_enabled():
+            from . import mxu_pallas
+
+            return mxu_pallas.intt_no_norm_factor(
+                a, pack.mxu.resolve(), interpret=config.pallas_interpret)
         return mxu_ntt.intt_no_norm_factor(a, pack.mxu.resolve())
     if pack.pallas is not None:
         from .. import config
@@ -454,3 +466,19 @@ def intt_exit_reduce(a, pack, signed=False):
 
 def intt_exit_reduce_signed(a, pack):
     return make_signed(intt_exit_reduce(a, pack), pack)
+
+
+def intt_reduce(a, pack):
+    """Inverse NTT + N^{-1} normalize + [0,2q)->[0,q) reduce, with NO
+    Montgomery exit. Used by the Shoup-form key switch
+    (config.use_shoup_extend): the basis extension is plain-domain, so
+    the ksk products carry exactly one R factor which the normalize's
+    montmul consumes — the result is already plain."""
+    if pack.pallas is not None:
+        from .. import config
+        from . import pallas_ntt
+
+        return pallas_ntt.intt(a, pack.pallas, post_exit=False,
+                               post_reduce=True,
+                               interpret=config.pallas_interpret)
+    return reduce_2q(intt(a, pack), pack)

@@ -612,7 +612,7 @@ def _intt_kernel(cref, x_ref, rowtw_ref, lanetw_ref, o_ref, *,
 
 
 def _ntt_mulacc_kernel(cref, x_ref, rowtw_ref, lanetw_ref, k0_ref, k1_ref,
-                       o0_ref, o1_ref, *, logN, n_parts):
+                       o0_ref, o1_ref, *, logN, n_parts, canon=True):
     """Key-switch inner loop, fused: per (channel, part) block —
     identity-montmul + canon of the (signed) basis-extension output, the
     full forward NTT in VMEM, multiply by BOTH ksk halves, and accumulate
@@ -636,16 +636,18 @@ def _ntt_mulacc_kernel(cref, x_ref, rowtw_ref, lanetw_ref, k0_ref, k1_ref,
     lo = x_ref[0, 0, 0]
     hi = x_ref[1, 0, 0]
 
-    # canon_2q(montmul_signed(x, R mod q)): wrapped-negative divided
-    # differences -> [0, 2q) so the stages run the unsigned fast path
-    # (mirrors ops.canon_2q + mont_enter_scalar(ident, signed=True)).
-    S = (cref[6, ch], cref[7, ch])
-    lo, hi = u64.montmul_signed((lo, hi), S, c["ql"], c["qh"],
-                                c["kl"], c["kh"])
-    neg = hi.astype(jnp.int32) < 0
-    fl, fh = u64.add((lo, hi), q2)
-    lo = jnp.where(neg, fl, lo)
-    hi = jnp.where(neg, fh, hi)
+    if canon:
+        # canon_2q(montmul_signed(x, R mod q)): wrapped-negative divided
+        # differences -> [0, 2q) so the stages run the unsigned fast path
+        # (mirrors ops.canon_2q + mont_enter_scalar(ident, signed=True)).
+        # canon=False: Shoup-form extension, already unsigned plain.
+        S = (cref[6, ch], cref[7, ch])
+        lo, hi = u64.montmul_signed((lo, hi), S, c["ql"], c["qh"],
+                                    c["kl"], c["kh"])
+        neg = hi.astype(jnp.int32) < 0
+        fl, fh = u64.add((lo, hi), q2)
+        lo = jnp.where(neg, fl, lo)
+        hi = jnp.where(neg, fh, hi)
 
     lo, hi = _row_stages_fwd(lo, hi, _tw_planes(rowtw_ref), c, logN, False)
     lo, hi = _lane_stages_fwd(lo, hi, _tw_planes(lanetw_ref), c, logN,
@@ -825,12 +827,14 @@ def _ksk_mulacc_kernel(cref, x_ref, k0_ref, k1_ref, o0_ref, o1_ref):
 
 
 def _ntt_ksk_accum_split(ext, k0_full, k1_full, plan, ident, level,
-                         part_off, interpret=False):
+                         part_off, interpret=False, canon=True):
     """Phase-split key-switch core (see config.use_split_switch):
-    canon+row-phase kernel(s) -> lane-phase kernel -> multiply+accumulate
-    kernel. Bit-exact with the fused ntt_ksk_accum (identical per-element
-    op order); trades one [2, P, C, N] HBM round trip between phases for
-    kernels small enough that Mosaic schedules them well."""
+    [canon+]row-phase kernel(s) -> lane-phase kernel -> multiply+
+    accumulate kernel. Bit-exact with the fused ntt_ksk_accum (identical
+    per-element op order); trades one [2, P, C, N] HBM round trip between
+    phases for kernels small enough that Mosaic schedules them well.
+    canon=False: the extension is already unsigned [0, 2q) plain-domain
+    (config.use_shoup_extend) — no pre-stage at all."""
     _, P, C, N = ext.shape
     R = N // LANES
     consts = plan.consts.at[6].set(ident[0]).at[7].set(ident[1])
@@ -841,7 +845,7 @@ def _ntt_ksk_accum_split(ext, k0_full, k1_full, plan, ident, level,
         k1 = functools.partial(_ntt_kernel, logN=plan.logN, signed=False,
                                pre_enter=False, post_reduce=False,
                                do_lanes=False, row_lo=lo_s, row_hi=hi_s,
-                               pre_canon=True)
+                               pre_canon=canon)
         mid = _call(k1, mid, consts, plan.row_tw, plan.lane_tw, interpret)
     k2 = functools.partial(_ntt_kernel, logN=plan.logN, signed=False,
                            pre_enter=False, post_reduce=False,
@@ -880,7 +884,7 @@ def _ntt_ksk_accum_split(ext, k0_full, k1_full, plan, ident, level,
 
 
 def ntt_ksk_accum(ext, k0_full, k1_full, plan, ident, level, part_off,
-                  interpret=False):
+                  interpret=False, canon=True):
     """Fused key-switch core. ext: [2, P, C, N] signed basis-extension
     outputs at the level layout. k0_full/k1_full: [2, P_full, C0, N]
     pre-stacked full-width ksk halves — the level slice (+``level``) and
@@ -893,7 +897,8 @@ def ntt_ksk_accum(ext, k0_full, k1_full, plan, ident, level, part_off,
 
     if config.use_split_switch:
         return _ntt_ksk_accum_split(ext, k0_full, k1_full, plan, ident,
-                                    level, part_off, interpret=interpret)
+                                    level, part_off, interpret=interpret,
+                                    canon=canon)
     _, P, C, N = ext.shape
     R = N // LANES
     consts = plan.consts.at[6].set(ident[0]).at[7].set(ident[1])
@@ -903,7 +908,8 @@ def ntt_ksk_accum(ext, k0_full, k1_full, plan, ident, level, part_off,
     k0v = k0_full.reshape(2, k0_full.shape[1], k0_full.shape[2], R, LANES)
     k1v = k1_full.reshape(2, k1_full.shape[1], k1_full.shape[2], R, LANES)
 
-    kern = functools.partial(_ntt_mulacc_kernel, logN=plan.logN, n_parts=P)
+    kern = functools.partial(_ntt_mulacc_kernel, logN=plan.logN, n_parts=P,
+                             canon=canon)
     out_shape = jax.ShapeDtypeStruct((2, C, R, LANES), ext.dtype)
     o0, o1 = pl.pallas_call(
         kern,

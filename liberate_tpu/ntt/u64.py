@@ -179,6 +179,20 @@ def mullo64(a, b):
     return ll[0], ll[1] + alo * bhi + ahi * blo
 
 
+def barrett_2q(x, bp, q):
+    """x mod q as a [0, 2q) representative, for ANY u64 x, via the
+    precomputed reciprocal bp = floor(2^64 / q): r = x - floor-est(x/q)*q.
+
+    The quotient estimate h = floor(x*bp / 2^64) satisfies
+    floor(x/q) - 1 <= h <= floor(x/q), so r is in [0, 2q). This is
+    shoup_mul with w = 1 (the mullo64(x, 1) elided) — the cheap unsigned
+    "reduce an arbitrary u64 into the lazy window" op the Shoup-form
+    pointwise chains use in place of a Montgomery enter.
+    """
+    h = mulhi64(x, bp)
+    return sub(x, mullo64(h, q))
+
+
 def shoup_mul(x, w, wp, q):
     """Modular multiply by the CONSTANT w via Shoup's precomputed
     quotient wp = floor(w * 2^64 / q): r = w*x - floor(wp*x / 2^64)*q.
