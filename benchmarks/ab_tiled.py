@@ -30,11 +30,17 @@ CONFIGS = {
     "extend": {"use_tiled_extend": True},
     "all": {"use_tiled_moddown": True, "use_tiled_rescale": True,
             "use_tiled_extend": True},
-    # MXU matmul NTT backend (exclusive of the Pallas kernels; the
-    # composed XLA switch runs around it). Tiled flags complement it.
-    "mxu": {"use_mxu_ntt": True},
-    "mxu_all": {"use_mxu_ntt": True, "use_tiled_moddown": True,
+    # MXU matmul NTT backend. "mxu": the round-2 XLA einsum composition;
+    # "mxu_pl": the VMEM-resident fused Pallas MXU kernels incl. the
+    # fused switch (config.use_mxu_pallas, round 4).
+    "mxu": {"use_mxu_ntt": True, "use_mxu_pallas": False},
+    "mxu_all": {"use_mxu_ntt": True, "use_mxu_pallas": False,
+                "use_tiled_moddown": True,
                 "use_tiled_rescale": True, "use_tiled_extend": True},
+    "mxu_pl": {"use_mxu_ntt": True, "use_mxu_pallas": True},
+    # Shoup-form pointwise chains OFF (round-4 A/B; they default on).
+    "noshoupchains": {"use_shoup_moddown": False, "use_shoup_rescale": False,
+                      "use_shoup_extend": False},
 }
 
 

@@ -1369,6 +1369,7 @@ class CkksEngine:
             return ops.reduce_2q(d, pack_ord)
 
         part_off = self.ntt.parts(level)[0].part_id
+        single_chip = self.mesh is None
 
         def fn(a, k0st, k1st, plans, part_packs, pack_sp, pack_ord, PiRs,
                enter_ord, ident_sp, PiWs, bp_sp, plans_sh):
@@ -1387,7 +1388,9 @@ class CkksEngine:
             # products exit via a plain reduce instead of a Montgomery
             # exit (the ksk halves carry one R factor, the extension
             # none — the product is plain after the NTT-domain multiply).
-            shoup_ext = (config.use_shoup_extend and pack_sp.mxu is None
+            # The MXU backend additionally REQUIRES plain unsigned inputs
+            # for its fused switch (digits read the u64 bits).
+            shoup_ext = (config.use_shoup_extend
                          and pack_sp.coef is None)
             exts = []
             for idx, (start, alpha) in enumerate(parts_meta):
@@ -1407,7 +1410,17 @@ class CkksEngine:
             ext = jnp.stack(exts, axis=1)                  # [2, P, C_sp, N]
 
             plan = pack_sp.pallas
-            if (config.use_fused_switch and plan is not None
+            if (shoup_ext and pack_sp.mxu is not None and single_chip
+                    and config.use_mxu_pallas and config.pallas_enabled()):
+                # Fused MXU switch kernel: transform + ksk multiplies +
+                # part accumulation VMEM-resident (mxu_pallas).
+                from ..ntt import mxu_pallas
+
+                mplan, moff, _ = mxu_pallas.resolve_ref(pack_sp.mxu)
+                d0, d1 = mxu_pallas.ntt_ksk_accum(
+                    ext, k0st, k1st, mplan, lvl, part_off,
+                    interpret=config.pallas_interpret, ch_off=moff)
+            elif (config.use_fused_switch and plan is not None
                     and pallas_ntt.supports_fused_accum(plan)):
                 # Fused kernel: [ident-canon +] NTT + both ksk multiplies
                 # + part accumulation, outputs resident in VMEM across

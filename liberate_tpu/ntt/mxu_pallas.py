@@ -1,0 +1,369 @@
+"""MXU matmul NTT as fused Pallas kernels (VMEM-resident 4-step).
+
+The XLA composition of the MXU backend (mxu_ntt.py) loses to the VPU
+butterfly kernels on real hardware because its int32 digit intermediates
+([C, dA, S, R] — 4x the polynomial size) round-trip HBM between the
+einsums and the VPU recombinations (round-3 A/B: 44.6 vs 20.9 ms/mult at
+silver; docs/DESIGN.md 6-7). This module runs the whole transform of one
+channel inside ONE Pallas kernel: digitize -> int8 MXU matmul ->
+recombine -> twiddle multiply -> transpose -> digitize -> matmul ->
+recombine, with every intermediate in VMEM. The systolic array does the
+O(N sqrt N) MAC work concurrently with the VPU's digit/recombine chains;
+HBM sees one read + one write of the polynomial plus the per-channel
+tables (~5 MB, reused across the batch axis by grid ordering).
+
+Numerics are IDENTICAL to mxu_ntt (same digit layout, same Horner, same
+Montgomery recombination order) — pinned bit-exact in
+tests/test_mxu_pallas.py. The transform domain is the mxu_ntt
+natural-order domain; the engine integration goes through the same
+pack.mxu route (config.use_mxu_ntt + use_mxu_pallas).
+
+Reference equivalent: none — the reference's CUDA NTT is butterfly-only
+(src/liberate/ntt/ntt_cuda_kernel.cu); this is the TPU-native
+tensor-core formulation.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import u64
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+
+def _consts_from_plan(plan):
+    """[10, C] u32 SMEM rows: ql qh kl kh q2l q2h clo_l clo_h chi_l chi_h."""
+    return jnp.stack([
+        plan.ql, plan.qh, plan.kl, plan.kh,
+        plan.q2[0], plan.q2[1],
+        plan.c_lo[0], plan.c_lo[1],
+        plan.c_hi[0], plan.c_hi[1],
+    ])
+
+
+def _digits_k(lo, hi, dB):
+    """[K, J] u32 pair -> [dB*K, J] s8 offset digits (v-major rows),
+    matching mxu_ntt._digits_s8 + _merge_zd exactly."""
+    ds = []
+    for v in range(dB):
+        w = lo if v < 4 else hi
+        sh = 8 * (v % 4)
+        d = ((w >> U32(sh)) & U32(0xFF)).astype(I32) - 128
+        ds.append(d.astype(jnp.int8))
+    return jnp.concatenate(ds, axis=0)
+
+
+def _sext(e32):
+    return (e32.astype(U32), (e32 >> 31).astype(U32))
+
+
+def _recombine_k(E, c, dA, split):
+    """E int32 [dA*O, J] (plane u at rows [u*O, (u+1)*O)) -> packed pair
+    in [0, 2q). Identical op order to mxu_ntt._recombine."""
+    O = E.shape[0] // dA
+    planes = [E[u * O:(u + 1) * O] for u in range(dA)]
+    lo_terms = planes[:min(split, dA)]
+    hi_terms = planes[split:]
+
+    def horner(terms):
+        v = _sext(terms[-1])
+        for t in terms[-2::-1]:
+            v = u64.add(u64.shl(v, 8), _sext(t))
+        return v
+
+    s = u64.montmul_signed(horner(lo_terms), c["clo"],
+                           c["ql"], c["qh"], c["kl"], c["kh"])
+    if hi_terms:
+        r_hi = u64.montmul_signed(horner(hi_terms), c["chi"],
+                                  c["ql"], c["qh"], c["kl"], c["kh"])
+        s = u64.add(s, r_hi)
+        over = ~u64.lt_unsigned(s, c["q2"])
+        s = u64.select(over, u64.sub(s, c["q2"]), s)
+    return s
+
+
+def _read_consts(cref, ch_off=0):
+    ch = pl.program_id(0) + ch_off
+    return {
+        "ql": cref[0, ch], "qh": cref[1, ch],
+        "kl": cref[2, ch], "kh": cref[3, ch],
+        "q2": (cref[4, ch], cref[5, ch]),
+        "clo": (cref[6, ch], cref[7, ch]),
+        "chi": (cref[8, ch], cref[9, ch]),
+    }
+
+
+def _matmul_s8(table, d):
+    """[O, Z] s8 @ [Z, J] s8 -> [O, J] int32 on the MXU."""
+    return jax.lax.dot_general(
+        table, d, (((1,), (0,)), ((), ())),
+        preferred_element_type=I32)
+
+
+def _ntt_kernel(cref, x_ref, m1_ref, r1_ref, tw_ref, m2_ref, r2_ref,
+                o_ref, *, dA, dB, split, ch_off=0):
+    c = _read_consts(cref, ch_off)
+    lo = x_ref[0, 0, 0]                      # [S, R]
+    hi = x_ref[1, 0, 0]
+    # stage 1: contract s
+    d = _digits_k(lo, hi, dB)                # [dB*S, R]
+    E = _matmul_s8(m1_ref[0], d) + r1_ref[0]
+    b = _recombine_k(E, c, dA, split)        # [S(k2), R(r)] in [0, 2q)
+    # twiddle (Montgomery form, [S, R])
+    t = (tw_ref[0, 0], tw_ref[1, 0])
+    b = u64.montmul(b, t, c["ql"], c["qh"], c["kl"], c["kh"])
+    # stage 2: contract r — digits along r, transposed view
+    d2 = _digits_k(b[0].T, b[1].T, dB)        # [dB*R, S]
+    E2 = _matmul_s8(m2_ref[0], d2) + r2_ref[0]
+    x = _recombine_k(E2, c, dA, split)        # [R(k1), S(k2)]
+    o_ref[0, 0, 0] = x[0]
+    o_ref[1, 0, 0] = x[1]
+
+
+def _intt_kernel(cref, x_ref, i1_ref, r1_ref, itw_ref, i2_ref, r2_ref,
+                 o_ref, *, dA, dB, split, ch_off=0):
+    c = _read_consts(cref, ch_off)
+    lo = x_ref[0, 0, 0]                      # [R(k1), S(k2)]
+    hi = x_ref[1, 0, 0]
+    # stage 1: contract k1
+    d = _digits_k(lo, hi, dB)                # [dB*R, S]
+    E = _matmul_s8(i1_ref[0], d) + r1_ref[0]
+    y = _recombine_k(E, c, dA, split)         # [R(j), S(k2)]
+    # twiddle tables are [S(k2), R(j)] — transpose to match (mxu_ntt
+    # swaps axes before _mont_tw)
+    y = (y[0].T, y[1].T)                      # [S(k2), R(j)]
+    t = (itw_ref[0, 0], itw_ref[1, 0])
+    y = u64.montmul(y, t, c["ql"], c["qh"], c["kl"], c["kh"])
+    # stage 2: contract k2
+    d2 = _digits_k(y[0], y[1], dB)            # [dB*S, R]
+    E2 = _matmul_s8(i2_ref[0], d2) + r2_ref[0]
+    x = _recombine_k(E2, c, dA, split)        # [S(s), R(j)]
+    o_ref[0, 0, 0] = x[0]
+    o_ref[1, 0, 0] = x[1]
+
+
+def _call(kernel, a, plan, t1, r1, tw, t2, r2, in_rows, out_rows,
+          interpret, ch_off=0):
+    """Launch over grid (C, B) — batch fastest, so per-channel tables
+    stay resident in VMEM across the batch axis. ch_off: the data's
+    channel 0 maps to table channel ch_off (level layouts are contiguous
+    suffixes of the master tables — block indexing instead of gathers)."""
+    batched = a.ndim == 4
+    if not batched:
+        a = a[:, None]
+    _, B, C, N = a.shape
+    cols_in = N // in_rows
+    cols_out = N // out_rows
+    av = a.reshape(2, B, C, in_rows, cols_in)
+    consts = _consts_from_plan(plan)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(C, B),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, 1, 1, in_rows, cols_in),
+                         lambda ch, b: (0, b, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + t1.shape[1:],
+                         lambda ch, b: (ch + ch_off, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + r1.shape[1:],
+                         lambda ch, b: (ch + ch_off, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1) + tw.shape[2:],
+                         lambda ch, b: (0, ch + ch_off, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + t2.shape[1:],
+                         lambda ch, b: (ch + ch_off, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + r2.shape[1:],
+                         lambda ch, b: (ch + ch_off, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, 1, 1, out_rows, cols_out),
+                               lambda ch, b: (0, b, ch, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, B, C, out_rows, cols_out),
+                                       a.dtype),
+        interpret=interpret,
+    )(consts, av, t1, r1, tw, t2, r2)
+
+    out = out.reshape(2, B, C, N)
+    return out if batched else out[:, 0]
+
+
+def _flat_tables(plan, fwd):
+    """Reshape the MxuPlan digit tables to kernel layout:
+    [C, dA, O, dB*K] -> [C, dA*O, dB*K]; rowsums [C, dA, O] ->
+    [C, dA*O, 1] int32. Pure views — no copies."""
+    if fwd:
+        m1, r1, m2, r2 = plan.m1, plan.m1_rs, plan.m2, plan.m2_rs
+        tw = plan.tw
+    else:
+        m1, r1, m2, r2 = plan.i1, plan.i1_rs, plan.i2, plan.i2_rs
+        tw = plan.itw
+    C = m1.shape[0]
+
+    def flat(t):
+        return t.reshape(C, t.shape[1] * t.shape[2], t.shape[3])
+
+    def flat_rs(t):
+        return t.reshape(C, t.shape[1] * t.shape[2], 1)
+
+    return flat(m1), flat_rs(r1), tw, flat(m2), flat_rs(r2)
+
+
+def resolve_ref(mxu_ref):
+    """(master plan, ch_off) when the ref's channel set is a contiguous
+    run of the master tables (every level layout is — the global prime
+    order makes alive channels a suffix), else (materialized plan, 0).
+    Contiguity means the kernels index the ONE master table set by block
+    offset: no per-call gather copies of ~10 MB/channel."""
+    idx = tuple(mxu_ref.idx)
+    if idx == tuple(range(idx[0], idx[0] + len(idx))):
+        return mxu_ref.plan, idx[0], len(idx)
+    return mxu_ref.resolve(), 0, len(idx)
+
+
+def ntt(a, plan, interpret=False, ch_off=0):
+    """Forward negacyclic NTT (natural order), bit-exact with
+    mxu_ntt.ntt. a: packed [2, .., C, N] in [0, 2^64) (any u64 lazy
+    residues). ch_off: table channel of the data's channel 0."""
+    t1, r1, tw, t2, r2 = _flat_tables(plan, fwd=True)
+    kern = functools.partial(_ntt_kernel, dA=plan.dA, dB=plan.dB,
+                             split=plan.split, ch_off=ch_off)
+    # input viewed [S, R] (a[s*R + r]); output [R(k1), S(k2)]
+    return _call(kern, a, plan, t1, r1, tw, t2, r2,
+                 in_rows=plan.S, out_rows=plan.R, interpret=interpret,
+                 ch_off=ch_off)
+
+
+def intt_no_norm_factor(a, plan, interpret=False, ch_off=0):
+    """Inverse transform (N^{-1} folded into the stage-2 table),
+    bit-exact with mxu_ntt.intt_no_norm_factor."""
+    t1, r1, itw, t2, r2 = _flat_tables(plan, fwd=False)
+    kern = functools.partial(_intt_kernel, dA=plan.dA, dB=plan.dB,
+                             split=plan.split, ch_off=ch_off)
+    # input viewed [R(k1), S(k2)]; output [S(s), R(j)]
+    return _call(kern, a, plan, t1, r1, itw, t2, r2,
+                 in_rows=plan.R, out_rows=plan.S, interpret=interpret,
+                 ch_off=ch_off)
+
+
+# ---------------------------------------------------------------------------
+# Fused key-switch core (MXU backend): forward transform + both ksk
+# multiplies + part-axis accumulation, outputs resident in VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _mulacc_kernel(cref, x_ref, m1_ref, r1_ref, tw_ref, m2_ref, r2_ref,
+                   k0_ref, k1_ref, o0_ref, o1_ref, *, dA, dB, split,
+                   ch_off):
+    """Per (channel, part) block: the forward MXU transform of the
+    plain-domain basis extension, multiply by BOTH ksk halves (natural-
+    order NTT domain), accumulate over the part axis. The MXU-backend
+    analogue of pallas_ntt._ntt_mulacc_kernel (requires
+    config.use_shoup_extend: inputs already unsigned [0, 2q))."""
+    c = _read_consts(cref, ch_off)
+    p = pl.program_id(1)
+    lo = x_ref[0, 0, 0]                       # [S, R]
+    hi = x_ref[1, 0, 0]
+    d = _digits_k(lo, hi, dB)
+    E = _matmul_s8(m1_ref[0], d) + r1_ref[0]
+    b = _recombine_k(E, c, dA, split)
+    t = (tw_ref[0, 0], tw_ref[1, 0])
+    b = u64.montmul(b, t, c["ql"], c["qh"], c["kl"], c["kh"])
+    d2 = _digits_k(b[0].T, b[1].T, dB)
+    E2 = _matmul_s8(m2_ref[0], d2) + r2_ref[0]
+    x = _recombine_k(E2, c, dA, split)        # [R(k1), S(k2)]
+
+    k0 = (k0_ref[0, 0, 0], k0_ref[1, 0, 0])
+    k1 = (k1_ref[0, 0, 0], k1_ref[1, 0, 0])
+    p0 = u64.montmul(x, k0, c["ql"], c["qh"], c["kl"], c["kh"])
+    p1 = u64.montmul(x, k1, c["ql"], c["qh"], c["kl"], c["kh"])
+
+    def csub(v):
+        over = ~u64.lt_unsigned(v, c["q2"])
+        return u64.select(over, u64.sub(v, c["q2"]), v)
+
+    @pl.when(p == 0)
+    def _init():
+        o0_ref[0, 0] = p0[0]
+        o0_ref[1, 0] = p0[1]
+        o1_ref[0, 0] = p1[0]
+        o1_ref[1, 0] = p1[1]
+
+    @pl.when(p != 0)
+    def _accum():
+        a0 = csub(u64.add((o0_ref[0, 0], o0_ref[1, 0]), p0))
+        o0_ref[0, 0] = a0[0]
+        o0_ref[1, 0] = a0[1]
+        a1 = csub(u64.add((o1_ref[0, 0], o1_ref[1, 0]), p1))
+        o1_ref[0, 0] = a1[0]
+        o1_ref[1, 0] = a1[1]
+
+
+def ntt_ksk_accum(ext, k0_full, k1_full, plan, level, part_off,
+                  interpret=False, ch_off=0):
+    """Fused MXU key-switch core. ext: [2, P, C, N] PLAIN unsigned
+    [0, 2q) basis-extension outputs (config.use_shoup_extend).
+    k0_full/k1_full: [2, P_full, C0, N] pre-stacked natural-order-domain
+    Montgomery ksk halves; level/part_off select the active slice via
+    block indexing. Returns (d0, d1): [2, C, N] plain-domain NTT-domain
+    accumulators in [0, 2q) (the ksk's R factor cancels in the montmul).
+    """
+    _, P, C, N = ext.shape
+    S, R = plan.S, plan.R
+    t1, r1, tw, t2, r2 = _flat_tables(plan, fwd=True)
+    consts = _consts_from_plan(plan)
+    xv = ext.reshape(2, P, C, S, R)
+    k0v = k0_full.reshape(2, k0_full.shape[1], k0_full.shape[2], R, S)
+    k1v = k1_full.reshape(2, k1_full.shape[1], k1_full.shape[2], R, S)
+    kern = functools.partial(_mulacc_kernel, dA=plan.dA, dB=plan.dB,
+                             split=plan.split, ch_off=ch_off)
+    out_shape = jax.ShapeDtypeStruct((2, C, R, S), ext.dtype)
+    o0, o1 = pl.pallas_call(
+        kern,
+        grid=(C, P),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, 1, 1, S, R), lambda ch, p: (0, p, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + t1.shape[1:],
+                         lambda ch, p: (ch + ch_off, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + r1.shape[1:],
+                         lambda ch, p: (ch + ch_off, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, S, R), lambda ch, p: (0, ch + ch_off, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + t2.shape[1:],
+                         lambda ch, p: (ch + ch_off, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + r2.shape[1:],
+                         lambda ch, p: (ch + ch_off, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, 1, R, S),
+                         lambda ch, p: (0, p + part_off, ch + level, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, 1, R, S),
+                         lambda ch, p: (0, p + part_off, ch + level, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, 1, R, S), lambda ch, p: (0, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, R, S), lambda ch, p: (0, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[out_shape, out_shape],
+        interpret=interpret,
+    )(consts, xv, t1, r1, tw, t2, r2, k0v, k1v)
+    return o0.reshape(2, C, N), o1.reshape(2, C, N)

@@ -309,7 +309,8 @@ def ntt(a, pack, signed=False):
         if config.use_mxu_pallas and config.pallas_enabled():
             from . import mxu_pallas
 
-            return mxu_pallas.ntt(a, pack.mxu.resolve(),
+            plan, off, _ = mxu_pallas.resolve_ref(pack.mxu)
+            return mxu_pallas.ntt(a, plan, ch_off=off,
                                   interpret=config.pallas_interpret)
         return mxu_ntt.ntt(a, pack.mxu.resolve())
     if pack.pallas is not None:
@@ -390,8 +391,9 @@ def intt(a, pack, signed=False):
         if config.use_mxu_pallas and config.pallas_enabled():
             from . import mxu_pallas
 
+            plan, off, _ = mxu_pallas.resolve_ref(pack.mxu)
             return mxu_pallas.intt_no_norm_factor(
-                a, pack.mxu.resolve(), interpret=config.pallas_interpret)
+                a, plan, ch_off=off, interpret=config.pallas_interpret)
         return mxu_ntt.intt_no_norm_factor(a, pack.mxu.resolve())
     if pack.pallas is not None:
         from .. import config
