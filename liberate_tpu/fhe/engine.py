@@ -1413,13 +1413,13 @@ class CkksEngine:
             if (shoup_ext and pack_sp.mxu is not None and single_chip
                     and config.use_mxu_pallas and config.pallas_enabled()):
                 # Fused MXU switch kernel: transform + ksk multiplies +
-                # part accumulation VMEM-resident (mxu_pallas).
+                # part accumulation VMEM-resident (mxu_pallas), one
+                # kernel per channel-width group.
                 from ..ntt import mxu_pallas
 
-                mplan, moff, _ = mxu_pallas.resolve_ref(pack_sp.mxu)
-                d0, d1 = mxu_pallas.ntt_ksk_accum(
-                    ext, k0st, k1st, mplan, lvl, part_off,
-                    interpret=config.pallas_interpret, ch_off=moff)
+                d0, d1 = mxu_pallas.dispatch_ksk_accum(
+                    ext, k0st, k1st, pack_sp.mxu, lvl, part_off,
+                    interpret=config.pallas_interpret)
             elif (config.use_fused_switch and plan is not None
                     and pallas_ntt.supports_fused_accum(plan)):
                 # Fused kernel: [ident-canon +] NTT + both ksk multiplies

@@ -59,7 +59,8 @@ def _build_and_load():
     p8 = ctypes.POINTER(ctypes.c_int8)
     pi64 = ctypes.POINTER(ctypes.c_int64)
     lib.mxu_decompose.restype = i64
-    lib.mxu_decompose.argtypes = [p64, i64, i64, u64, i32, i32, p8, pi64]
+    lib.mxu_decompose.argtypes = [p64, i64, i64, u64, i32, i32, i32,
+                                  p8, pi64]
     lib.shoup_precompute.restype = None
     lib.shoup_precompute.argtypes = [p64, i64, u64, p64]
     return lib
@@ -126,10 +127,11 @@ def chacha20_blocks(key, nonce, counters):
     return out
 
 
-def mxu_decompose(M, q: int, dA: int, dB: int):
+def mxu_decompose(M, q: int, dA: int, dB: int, centered: bool = False):
     """Balanced base-256 digit decomposition of an MXU-NTT table
     (ntt/mxu_ntt.py _decompose_table): (digits int8 [dA, O, dB*I],
-    rowsums int32 [dA, O]); None if unavailable."""
+    rowsums int32 [dA, O]); None if unavailable. centered: decompose the
+    centered (-q/2, q/2] representatives."""
     lib = get_lib()
     if lib is None or q >= (1 << 63):
         return None
@@ -141,6 +143,7 @@ def mxu_decompose(M, q: int, dA: int, dB: int):
     p8 = ctypes.POINTER(ctypes.c_int8)
     pi64 = ctypes.POINTER(ctypes.c_int64)
     errs = lib.mxu_decompose(M.ctypes.data_as(p64), O, I, q, dA, dB,
+                             1 if centered else 0,
                              digits.ctypes.data_as(p8),
                              rowsum.ctypes.data_as(pi64))
     if errs:

@@ -159,20 +159,26 @@ void chacha20_blocks(const uint32_t* key, const uint32_t* nonce,
 // is the same exact integer arithmetic in __int128. Returns the number
 // of entries whose digits did not terminate (must be 0).
 int64_t mxu_decompose(const uint64_t* M, int64_t O, int64_t I, uint64_t q,
-                      int32_t dA, int32_t dB, int8_t* digits,
-                      int64_t* rowsum) {
+                      int32_t dA, int32_t dB, int32_t centered,
+                      int8_t* digits, int64_t* rowsum) {
     // digits layout: [dA, O, dB, I]; rowsum: [dA, O] (sum of raw digits,
-    // caller multiplies by 128).
+    // caller multiplies by 128). centered: decompose the CENTERED
+    // representative in (-q/2, q/2] instead of [0, q) — one fewer
+    // balanced digit for just-over-a-power-of-256 moduli (the 40-bit
+    // scale primes need 5 digits centered vs 6 canonical; same result
+    // mod q since table entries shift by multiples of q).
     int64_t errors = 0;
     for (int64_t u = 0; u < (int64_t)dA * O; ++u) rowsum[u] = 0;
     for (int32_t v = 0; v < dB; ++v) {
         uint64_t w = powmod_u64(2, 8 * (uint64_t)v, q);
         for (int64_t o = 0; o < O; ++o) {
             for (int64_t i = 0; i < I; ++i) {
-                uint64_t x = mulmod_u64(M[o * I + i], w, q);
+                uint64_t xu = mulmod_u64(M[o * I + i], w, q);
+                int64_t x = (centered && xu > q / 2)
+                    ? (int64_t)xu - (int64_t)q : (int64_t)xu;
                 for (int32_t u = 0; u < dA; ++u) {
                     int32_t d = (int32_t)(x & 0xFF);
-                    x >>= 8;
+                    x >>= 8;   // arithmetic: x may be negative
                     if (d > 127) { d -= 256; x += 1; }
                     digits[(((int64_t)u * O + o) * dB + v) * I + i] =
                         (int8_t)d;

@@ -53,7 +53,9 @@ U32 = jnp.uint32
 
 _ARRAY_FIELDS = ("m1", "m1_rs", "tw", "m2", "m2_rs",
                  "i1", "i1_rs", "itw", "i2", "i2_rs",
-                 "c_lo", "c_hi", "ql", "qh", "kl", "kh", "q2")
+                 "c_lo", "c_hi", "ql", "qh", "kl", "kh", "q2",
+                 "bp", "whi", "wphi", "corr",
+                 "m1e", "m1e_rs", "i2x", "i2x_rs")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,6 +97,22 @@ class MxuPlan:
     kl: jnp.ndarray
     kh: jnp.ndarray
     q2: jnp.ndarray          # [2, C]
+    # Shoup-form recombination constants (mxu_pallas kernels): Barrett
+    # reciprocal floor(2^64/q), plain 2^{8*split} mod q + its Shoup
+    # quotient, and the combined +2^63-offset correction
+    # (-2^63*(1 + whi) mod q, or -2^63 when dA <= split).
+    bp: jnp.ndarray          # [2, C]
+    whi: jnp.ndarray         # [2, C]
+    wphi: jnp.ndarray        # [2, C]
+    corr: jnp.ndarray        # [2, C]
+    # Enter/exit-folded table variants (mxu_pallas): m1e = M1 * R mod q
+    # (forward transform of a * R — replaces the XLA mont_enter pass);
+    # i2x = I2 * R^{-1} mod q (inverse with the Montgomery exit folded —
+    # replaces the XLA mont_redc pass).
+    m1e: jnp.ndarray         # [C, dA, S, dB*S] s8
+    m1e_rs: jnp.ndarray      # [C, dA, S] i32
+    i2x: jnp.ndarray         # [C, dA, S, dB*S] s8
+    i2x_rs: jnp.ndarray      # [C, dA, S] i32
 
     def tree_flatten(self):
         return (tuple(getattr(self, f) for f in _ARRAY_FIELDS),
@@ -172,16 +190,49 @@ def digit_params(word_bits):
     return dA, dB, split
 
 
+def channel_digit_params(q):
+    """(dA, dB) for ONE modulus: dA = fewest balanced base-256 digits
+    whose positive capacity covers q-1 (127 * (256^dA - 1) / 255);
+    dB = bytes covering the lazy residue bound 2q. 40-bit scale primes
+    get (6, 6) — 36 MACs and ~56% of the table bytes of the uniform
+    62-bit (8, 8) parameters."""
+    q = int(q)
+    dA = 1
+    while 127 * ((256 ** dA - 1) // 255) < q - 1:
+        dA += 1
+    dB = -(-((2 * q - 1).bit_length()) // 8)
+    return dA, dB
+
+
+def width_groups(q_list):
+    """Contiguous channel runs with equal (dA, dB): [(start, stop,
+    (dA, dB)), ...]. The global prime order [scales..., base, specials]
+    makes this two runs for 40-bit-scale parameter sets."""
+    runs = []
+    for i, q in enumerate(q_list):
+        p = channel_digit_params(q)
+        if runs and runs[-1][1] == i and runs[-1][2] == p:
+            runs[-1] = (runs[-1][0], i + 1, p)
+        else:
+            runs.append((i, i + 1, p))
+    return runs
+
+
 def make_plan(logN, q_list, R_list, psi_list, ipsi_list, Ninv_list,
-              word_bits=62):
+              word_bits=62, dA=None, dB=None):
     """Host-side table build for one channel set.
 
     q_list: channel moduli; R_list: Montgomery radix R mod q per channel
     (R = 2^word_bits); psi/ipsi: primitive 2N-th roots and inverses;
-    Ninv_list: N^{-1} mod q (plain). Reference analogue: the psi 'paint'
-    tables of ckks_context.py:89-142, re-derived as matmul factors.
+    Ninv_list: N^{-1} mod q (plain). dA/dB override the word-size digit
+    parameters for width-grouped plans (see width_groups). Reference
+    analogue: the psi 'paint' tables of ckks_context.py:89-142,
+    re-derived as matmul factors.
     """
-    dA, dB, split = digit_params(word_bits)
+    dA_w, dB_w, split = digit_params(word_bits)
+    dA = dA_w if dA is None else dA
+    dB = dB_w if dB is None else dB
+    split = min(dA, 5)
     N = 1 << logN
     S = 1 << ((logN + 1) // 2)
     R = N // S
@@ -189,6 +240,10 @@ def make_plan(logN, q_list, R_list, psi_list, ipsi_list, Ninv_list,
 
     m1 = np.zeros((C, dA, S, dB * S), dtype=np.int8)
     m1_rs = np.zeros((C, dA, S), dtype=np.int32)
+    m1e = np.zeros((C, dA, S, dB * S), dtype=np.int8)
+    m1e_rs = np.zeros((C, dA, S), dtype=np.int32)
+    i2x = np.zeros((C, dA, S, dB * S), dtype=np.int8)
+    i2x_rs = np.zeros((C, dA, S), dtype=np.int32)
     m2 = np.zeros((C, dA, R, dB * R), dtype=np.int8)
     m2_rs = np.zeros((C, dA, R), dtype=np.int32)
     i1 = np.zeros((C, dA, R, dB * R), dtype=np.int8)
@@ -199,6 +254,10 @@ def make_plan(logN, q_list, R_list, psi_list, ipsi_list, Ninv_list,
     itw = np.zeros((C, S, R), dtype=np.uint64)
     c_lo = np.zeros(C, dtype=np.uint64)
     c_hi = np.zeros(C, dtype=np.uint64)
+    bp = np.zeros(C, dtype=np.uint64)
+    whi = np.zeros(C, dtype=np.uint64)
+    wphi = np.zeros(C, dtype=np.uint64)
+    corr = np.zeros(C, dtype=np.uint64)
 
     for c, (q, Rm, psi, ipsi, Ninv) in enumerate(
             zip(q_list, R_list, psi_list, ipsi_list, Ninv_list)):
@@ -214,6 +273,10 @@ def make_plan(logN, q_list, R_list, psi_list, ipsi_list, Ninv_list,
         # forward stage-1: M1[k2, s] = W^{R s k2} psi^{R s}
         M1 = (pw[(sv * k2v * R) % N] * ppsi[(sv * R) % (2 * N)]) % q
         m1[c], m1_rs[c] = _decompose_table(M1.astype(np.uint64), q, dA, dB)
+        # enter-folded: transform of a * R in one pass
+        M1e = (M1 * int(Rm)) % q
+        m1e[c], m1e_rs[c] = _decompose_table(M1e.astype(np.uint64),
+                                             q, dA, dB)
         # forward twiddle, [S(k2), R(r)] layout, Montgomery form
         TW = (ppsi[np.arange(R)[None, :]] *
               pw[(np.arange(R)[None, :] * np.arange(S)[:, None]) % N]
@@ -236,9 +299,22 @@ def make_plan(logN, q_list, R_list, psi_list, ipsi_list, Ninv_list,
         I2 = (pwi[(srow * k2col * R) % N] * pipsi[(srow * R) % (2 * N)]
               * Ninv) % q
         i2[c], i2_rs[c] = _decompose_table(I2.astype(np.uint64), q, dA, dB)
+        # exit-folded: the Montgomery exit (x -> x * R^{-1}) in the
+        # inverse stage-2 table
+        I2x = (I2 * pow(int(Rm), -1, q)) % q
+        i2x[c], i2x_rs[c] = _decompose_table(I2x.astype(np.uint64),
+                                             q, dA, dB)
 
         c_lo[c] = Rm % q
         c_hi[c] = (pow(2, 8 * split, q) * Rm) % q
+        # Shoup recombination constants (mxu_pallas): V mod q via
+        # barrett(v_lo + 2^63) + shoup(v_hi + 2^63, whi) + corr.
+        bp[c] = (1 << 64) // q
+        w_hi = pow(2, 8 * split, q)
+        whi[c] = w_hi
+        wphi[c] = (w_hi << 64) // q
+        off = pow(2, 63, q)
+        corr[c] = ((-off * (1 + (w_hi if dA > split else 0))) % q)
 
     def _pk(x64):  # uint64 [..] -> packed [2, ..] u32
         return jnp.asarray(u64.from_int64_np(
@@ -249,7 +325,10 @@ def make_plan(logN, q_list, R_list, psi_list, ipsi_list, Ninv_list,
                 tw=_pk(tw), m2=jnp.asarray(m2), m2_rs=jnp.asarray(m2_rs),
                 i1=jnp.asarray(i1), i1_rs=jnp.asarray(i1_rs),
                 itw=_pk(itw), i2=jnp.asarray(i2), i2_rs=jnp.asarray(i2_rs),
-                c_lo=_pk(c_lo), c_hi=_pk(c_hi))
+                c_lo=_pk(c_lo), c_hi=_pk(c_hi),
+                bp=_pk(bp), whi=_pk(whi), wphi=_pk(wphi), corr=_pk(corr),
+                m1e=jnp.asarray(m1e), m1e_rs=jnp.asarray(m1e_rs),
+                i2x=jnp.asarray(i2x), i2x_rs=jnp.asarray(i2x_rs))
 
 
 def plan_from_dict(d, ql, qh, kl, kh, q2):
@@ -258,7 +337,8 @@ def plan_from_dict(d, ql, qh, kl, kh, q2):
 
 # Fields whose channel axis is axis 1 (packed [2, C, ...]); the rest put
 # channels first ([C, ...] / [C]).
-_C_AXIS1 = frozenset({"tw", "itw", "c_lo", "c_hi", "q2"})
+_C_AXIS1 = frozenset({"tw", "itw", "c_lo", "c_hi", "q2",
+                      "bp", "whi", "wphi", "corr"})
 
 
 def take_channels(plan: MxuPlan, idx):
@@ -285,9 +365,15 @@ class MxuRef:
     traces to gathers inside jit, so every level pack shares the one
     master table set on device (take_channels eagerly would copy ~10 MB
     per channel per level).
+
+    ``groups``: width-grouped master plans ((gstart, gstop, MxuPlan),
+    ...) over GLOBAL channel indices, with per-group digit parameters
+    (width_groups) — consumed by the fused Pallas kernels
+    (mxu_pallas.dispatch); empty means uniform word-size digits only.
     """
     plan: MxuPlan
     idx: tuple
+    groups: tuple = ()
 
     def resolve(self) -> MxuPlan:
         if tuple(self.idx) == tuple(range(self.plan.ql.shape[0])):
@@ -295,11 +381,16 @@ class MxuRef:
         return take_channels(self.plan, self.idx)
 
     def tree_flatten(self):
-        return ((self.plan,), (tuple(self.idx),))
+        gplans = tuple(g[2] for g in self.groups)
+        gbounds = tuple((g[0], g[1]) for g in self.groups)
+        return ((self.plan, gplans), (tuple(self.idx), gbounds))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], aux[0])
+        idx, gbounds = aux
+        plan, gplans = children
+        groups = tuple((b[0], b[1], p) for b, p in zip(gbounds, gplans))
+        return cls(plan, idx, groups)
 
 
 jax.tree_util.register_pytree_node(

@@ -38,12 +38,16 @@ U32 = jnp.uint32
 
 
 def _consts_from_plan(plan):
-    """[10, C] u32 SMEM rows: ql qh kl kh q2l q2h clo_l clo_h chi_l chi_h."""
+    """[18, C] u32 SMEM rows: ql qh kl kh q2 clo chi bp whi wphi corr."""
     return jnp.stack([
         plan.ql, plan.qh, plan.kl, plan.kh,
         plan.q2[0], plan.q2[1],
         plan.c_lo[0], plan.c_lo[1],
         plan.c_hi[0], plan.c_hi[1],
+        plan.bp[0], plan.bp[1],
+        plan.whi[0], plan.whi[1],
+        plan.wphi[0], plan.wphi[1],
+        plan.corr[0], plan.corr[1],
     ])
 
 
@@ -63,9 +67,16 @@ def _sext(e32):
     return (e32.astype(U32), (e32 >> 31).astype(U32))
 
 
-def _recombine_k(E, c, dA, split):
+def _recombine_k(E, c, dA, split, shoup_rec):
     """E int32 [dA*O, J] (plane u at rows [u*O, (u+1)*O)) -> packed pair
-    in [0, 2q). Identical op order to mxu_ntt._recombine."""
+    in [0, 2q).
+
+    shoup_rec=True: Barrett/Shoup form — the signed partial sums are
+    offset by +2^63, reduced with the precomputed reciprocals, and
+    corrected with one per-channel constant (~25% fewer VPU ops than the
+    two Montgomery multiplies; same values mod q, different lazy
+    representatives). shoup_rec=False: identical op order to
+    mxu_ntt._recombine (bit-exact parity mode)."""
     O = E.shape[0] // dA
     planes = [E[u * O:(u + 1) * O] for u in range(dA)]
     lo_terms = planes[:min(split, dA)]
@@ -76,6 +87,22 @@ def _recombine_k(E, c, dA, split):
         for t in terms[-2::-1]:
             v = u64.add(u64.shl(v, 8), _sext(t))
         return v
+
+    if shoup_rec:
+        HI = np.uint32(0x80000000)
+        q = u64.shr(c["q2"], 1)
+        v_lo = horner(lo_terms)
+        r = u64.barrett_2q((v_lo[0], v_lo[1] + HI), c["bp"], q)
+        if hi_terms:
+            v_hi = horner(hi_terms)
+            r = u64.add(r, u64.shoup_mul((v_hi[0], v_hi[1] + HI),
+                                         c["whi"], c["wphi"], q))
+        r = u64.add(r, c["corr"])               # < 5q
+        q4 = u64.shl(c["q2"], 1)
+        over = ~u64.lt_unsigned(r, q4)
+        r = u64.select(over, u64.sub(r, q4), r)  # < 4q
+        over = ~u64.lt_unsigned(r, c["q2"])
+        return u64.select(over, u64.sub(r, c["q2"]), r)
 
     s = u64.montmul_signed(horner(lo_terms), c["clo"],
                            c["ql"], c["qh"], c["kl"], c["kh"])
@@ -96,6 +123,10 @@ def _read_consts(cref, ch_off=0):
         "q2": (cref[4, ch], cref[5, ch]),
         "clo": (cref[6, ch], cref[7, ch]),
         "chi": (cref[8, ch], cref[9, ch]),
+        "bp": (cref[10, ch], cref[11, ch]),
+        "whi": (cref[12, ch], cref[13, ch]),
+        "wphi": (cref[14, ch], cref[15, ch]),
+        "corr": (cref[16, ch], cref[17, ch]),
     }
 
 
@@ -107,34 +138,35 @@ def _matmul_s8(table, d):
 
 
 def _ntt_kernel(cref, x_ref, m1_ref, r1_ref, tw_ref, m2_ref, r2_ref,
-                o_ref, *, dA, dB, split, ch_off=0):
+                o_ref, *, dA, dB, split, ch_off=0, shoup_rec=True):
     c = _read_consts(cref, ch_off)
     lo = x_ref[0, 0, 0]                      # [S, R]
     hi = x_ref[1, 0, 0]
     # stage 1: contract s
     d = _digits_k(lo, hi, dB)                # [dB*S, R]
     E = _matmul_s8(m1_ref[0], d) + r1_ref[0]
-    b = _recombine_k(E, c, dA, split)        # [S(k2), R(r)] in [0, 2q)
+    b = _recombine_k(E, c, dA, split, shoup_rec)        # [S(k2), R(r)] in [0, 2q)
     # twiddle (Montgomery form, [S, R])
     t = (tw_ref[0, 0], tw_ref[1, 0])
     b = u64.montmul(b, t, c["ql"], c["qh"], c["kl"], c["kh"])
     # stage 2: contract r — digits along r, transposed view
     d2 = _digits_k(b[0].T, b[1].T, dB)        # [dB*R, S]
     E2 = _matmul_s8(m2_ref[0], d2) + r2_ref[0]
-    x = _recombine_k(E2, c, dA, split)        # [R(k1), S(k2)]
+    x = _recombine_k(E2, c, dA, split, shoup_rec)        # [R(k1), S(k2)]
     o_ref[0, 0, 0] = x[0]
     o_ref[1, 0, 0] = x[1]
 
 
 def _intt_kernel(cref, x_ref, i1_ref, r1_ref, itw_ref, i2_ref, r2_ref,
-                 o_ref, *, dA, dB, split, ch_off=0):
+                 o_ref, *, dA, dB, split, ch_off=0, shoup_rec=True,
+                 post_reduce=False):
     c = _read_consts(cref, ch_off)
     lo = x_ref[0, 0, 0]                      # [R(k1), S(k2)]
     hi = x_ref[1, 0, 0]
     # stage 1: contract k1
     d = _digits_k(lo, hi, dB)                # [dB*R, S]
     E = _matmul_s8(i1_ref[0], d) + r1_ref[0]
-    y = _recombine_k(E, c, dA, split)         # [R(j), S(k2)]
+    y = _recombine_k(E, c, dA, split, shoup_rec)         # [R(j), S(k2)]
     # twiddle tables are [S(k2), R(j)] — transpose to match (mxu_ntt
     # swaps axes before _mont_tw)
     y = (y[0].T, y[1].T)                      # [S(k2), R(j)]
@@ -143,7 +175,11 @@ def _intt_kernel(cref, x_ref, i1_ref, r1_ref, itw_ref, i2_ref, r2_ref,
     # stage 2: contract k2
     d2 = _digits_k(y[0], y[1], dB)            # [dB*S, R]
     E2 = _matmul_s8(i2_ref[0], d2) + r2_ref[0]
-    x = _recombine_k(E2, c, dA, split)        # [S(s), R(j)]
+    x = _recombine_k(E2, c, dA, split, shoup_rec)        # [S(s), R(j)]
+    if post_reduce:
+        q = u64.shr(c["q2"], 1)
+        lt = u64.lt_unsigned(x, q)
+        x = u64.select(lt, x, u64.sub(x, q))
     o_ref[0, 0, 0] = x[0]
     o_ref[1, 0, 0] = x[1]
 
@@ -199,15 +235,21 @@ def _call(kernel, a, plan, t1, r1, tw, t2, r2, in_rows, out_rows,
     return out if batched else out[:, 0]
 
 
-def _flat_tables(plan, fwd):
+def _flat_tables(plan, fwd, enter=False, exitx=False):
     """Reshape the MxuPlan digit tables to kernel layout:
     [C, dA, O, dB*K] -> [C, dA*O, dB*K]; rowsums [C, dA, O] ->
-    [C, dA*O, 1] int32. Pure views — no copies."""
+    [C, dA*O, 1] int32. Pure views — no copies. enter: the R-folded
+    forward stage-1 tables (transform of a*R); exitx: the
+    R^{-1}-folded inverse stage-2 tables (Montgomery exit fused)."""
     if fwd:
-        m1, r1, m2, r2 = plan.m1, plan.m1_rs, plan.m2, plan.m2_rs
+        m1 = plan.m1e if enter else plan.m1
+        r1 = plan.m1e_rs if enter else plan.m1_rs
+        m2, r2 = plan.m2, plan.m2_rs
         tw = plan.tw
     else:
-        m1, r1, m2, r2 = plan.i1, plan.i1_rs, plan.i2, plan.i2_rs
+        m1, r1 = plan.i1, plan.i1_rs
+        m2 = plan.i2x if exitx else plan.i2
+        r2 = plan.i2x_rs if exitx else plan.i2_rs
         tw = plan.itw
     C = m1.shape[0]
 
@@ -218,6 +260,54 @@ def _flat_tables(plan, fwd):
         return t.reshape(C, t.shape[1] * t.shape[2], 1)
 
     return flat(m1), flat_rs(r1), tw, flat(m2), flat_rs(r2)
+
+
+def dispatch(a, mxu_ref, inverse=False, interpret=False, **kw):
+    """Transform through an MxuRef: width-grouped plans when available
+    (per-group digit parameters — 40-bit scale primes run dA=dB=6), one
+    pallas_call per contiguous group, block-offset table indexing.
+    ``kw``: variant flags (enter / exitx / post_reduce / shoup_rec)."""
+    f = intt_no_norm_factor if inverse else ntt
+    idx = tuple(mxu_ref.idx)
+    contig = idx == tuple(range(idx[0], idx[0] + len(idx)))
+    if mxu_ref.groups and contig:
+        start, stop = idx[0], idx[0] + len(idx)
+        outs = []
+        for gs, ge, gplan in mxu_ref.groups:
+            lo, hi = max(gs, start), min(ge, stop)
+            if hi <= lo:
+                continue
+            outs.append(f(a[..., lo - start:hi - start, :], gplan,
+                          ch_off=lo - gs, interpret=interpret, **kw))
+        return jnp.concatenate(outs, axis=-2) if len(outs) > 1 else outs[0]
+    if contig:
+        return f(a, mxu_ref.plan, ch_off=idx[0], interpret=interpret, **kw)
+    return f(a, mxu_ref.resolve(), interpret=interpret, **kw)
+
+
+def dispatch_ksk_accum(ext, k0_full, k1_full, mxu_ref, level, part_off,
+                       interpret=False):
+    """Fused switch through an MxuRef (the ref must be the level's
+    with-special pack: global channels [level, C0))."""
+    C = ext.shape[2]
+    if mxu_ref.groups:
+        outs0, outs1 = [], []
+        for gs, ge, gplan in mxu_ref.groups:
+            lo, hi = max(gs, level), min(ge, level + C)
+            if hi <= lo:
+                continue
+            o0, o1 = ntt_ksk_accum(
+                ext[..., lo - level:hi - level, :], k0_full, k1_full,
+                gplan, lo, part_off, interpret=interpret, ch_off=lo - gs)
+            outs0.append(o0)
+            outs1.append(o1)
+        if len(outs0) == 1:
+            return outs0[0], outs1[0]
+        return (jnp.concatenate(outs0, axis=-2),
+                jnp.concatenate(outs1, axis=-2))
+    plan, off, _ = resolve_ref(mxu_ref)
+    return ntt_ksk_accum(ext, k0_full, k1_full, plan, level, part_off,
+                         interpret=interpret, ch_off=off)
 
 
 def resolve_ref(mxu_ref):
@@ -232,25 +322,32 @@ def resolve_ref(mxu_ref):
     return mxu_ref.resolve(), 0, len(idx)
 
 
-def ntt(a, plan, interpret=False, ch_off=0):
-    """Forward negacyclic NTT (natural order), bit-exact with
-    mxu_ntt.ntt. a: packed [2, .., C, N] in [0, 2^64) (any u64 lazy
-    residues). ch_off: table channel of the data's channel 0."""
-    t1, r1, tw, t2, r2 = _flat_tables(plan, fwd=True)
+def ntt(a, plan, interpret=False, ch_off=0, shoup_rec=True,
+        enter=False):
+    """Forward negacyclic NTT (natural order). a: packed [2, .., C, N]
+    in [0, 2^{8*dB}) lazy residues (any u64 for the word-size digit
+    parameters). ch_off: table channel of the data's channel 0.
+    shoup_rec=False: bit-exact parity with mxu_ntt.ntt (Montgomery
+    recombination); True (default): same values mod q, ~25% fewer VPU
+    ops."""
+    t1, r1, tw, t2, r2 = _flat_tables(plan, fwd=True, enter=enter)
     kern = functools.partial(_ntt_kernel, dA=plan.dA, dB=plan.dB,
-                             split=plan.split, ch_off=ch_off)
+                             split=plan.split, ch_off=ch_off,
+                             shoup_rec=shoup_rec)
     # input viewed [S, R] (a[s*R + r]); output [R(k1), S(k2)]
     return _call(kern, a, plan, t1, r1, tw, t2, r2,
                  in_rows=plan.S, out_rows=plan.R, interpret=interpret,
                  ch_off=ch_off)
 
 
-def intt_no_norm_factor(a, plan, interpret=False, ch_off=0):
-    """Inverse transform (N^{-1} folded into the stage-2 table),
-    bit-exact with mxu_ntt.intt_no_norm_factor."""
-    t1, r1, itw, t2, r2 = _flat_tables(plan, fwd=False)
+def intt_no_norm_factor(a, plan, interpret=False, ch_off=0,
+                        shoup_rec=True, exitx=False, post_reduce=False):
+    """Inverse transform (N^{-1} folded into the stage-2 table);
+    shoup_rec=False is bit-exact with mxu_ntt.intt_no_norm_factor."""
+    t1, r1, itw, t2, r2 = _flat_tables(plan, fwd=False, exitx=exitx)
     kern = functools.partial(_intt_kernel, dA=plan.dA, dB=plan.dB,
-                             split=plan.split, ch_off=ch_off)
+                             split=plan.split, ch_off=ch_off,
+                             shoup_rec=shoup_rec, post_reduce=post_reduce)
     # input viewed [R(k1), S(k2)]; output [S(s), R(j)]
     return _call(kern, a, plan, t1, r1, itw, t2, r2,
                  in_rows=plan.R, out_rows=plan.S, interpret=interpret,
@@ -265,7 +362,7 @@ def intt_no_norm_factor(a, plan, interpret=False, ch_off=0):
 
 def _mulacc_kernel(cref, x_ref, m1_ref, r1_ref, tw_ref, m2_ref, r2_ref,
                    k0_ref, k1_ref, o0_ref, o1_ref, *, dA, dB, split,
-                   ch_off):
+                   ch_off, shoup_rec=True):
     """Per (channel, part) block: the forward MXU transform of the
     plain-domain basis extension, multiply by BOTH ksk halves (natural-
     order NTT domain), accumulate over the part axis. The MXU-backend
@@ -277,12 +374,12 @@ def _mulacc_kernel(cref, x_ref, m1_ref, r1_ref, tw_ref, m2_ref, r2_ref,
     hi = x_ref[1, 0, 0]
     d = _digits_k(lo, hi, dB)
     E = _matmul_s8(m1_ref[0], d) + r1_ref[0]
-    b = _recombine_k(E, c, dA, split)
+    b = _recombine_k(E, c, dA, split, shoup_rec)
     t = (tw_ref[0, 0], tw_ref[1, 0])
     b = u64.montmul(b, t, c["ql"], c["qh"], c["kl"], c["kh"])
     d2 = _digits_k(b[0].T, b[1].T, dB)
     E2 = _matmul_s8(m2_ref[0], d2) + r2_ref[0]
-    x = _recombine_k(E2, c, dA, split)        # [R(k1), S(k2)]
+    x = _recombine_k(E2, c, dA, split, shoup_rec)        # [R(k1), S(k2)]
 
     k0 = (k0_ref[0, 0, 0], k0_ref[1, 0, 0])
     k1 = (k1_ref[0, 0, 0], k1_ref[1, 0, 0])
@@ -311,7 +408,7 @@ def _mulacc_kernel(cref, x_ref, m1_ref, r1_ref, tw_ref, m2_ref, r2_ref,
 
 
 def ntt_ksk_accum(ext, k0_full, k1_full, plan, level, part_off,
-                  interpret=False, ch_off=0):
+                  interpret=False, ch_off=0, shoup_rec=True):
     """Fused MXU key-switch core. ext: [2, P, C, N] PLAIN unsigned
     [0, 2q) basis-extension outputs (config.use_shoup_extend).
     k0_full/k1_full: [2, P_full, C0, N] pre-stacked natural-order-domain
@@ -327,7 +424,8 @@ def ntt_ksk_accum(ext, k0_full, k1_full, plan, level, part_off,
     k0v = k0_full.reshape(2, k0_full.shape[1], k0_full.shape[2], R, S)
     k1v = k1_full.reshape(2, k1_full.shape[1], k1_full.shape[2], R, S)
     kern = functools.partial(_mulacc_kernel, dA=plan.dA, dB=plan.dB,
-                             split=plan.split, ch_off=ch_off)
+                             split=plan.split, ch_off=ch_off,
+                             shoup_rec=shoup_rec)
     out_shape = jax.ShapeDtypeStruct((2, C, R, S), ext.dtype)
     o0, o1 = pl.pallas_call(
         kern,

@@ -119,6 +119,7 @@ class NttContext:
         self._level_packs = {}
         self._part_plans = {}
         self._mxu_master = None
+        self._mxu_groups = None
 
         # Per-level channel-slice starts (into level-0 key layout).
         self.starts = list(range(self.num_levels))
@@ -308,7 +309,8 @@ class NttContext:
                     jnp.asarray(self._kl), jnp.asarray(self._kh),
                     jnp.asarray(self._q2))
             return mxu_ntt.MxuRef(self._mxu_master,
-                                  tuple(int(i) for i in idx))
+                                  tuple(int(i) for i in idx),
+                                  groups=self._mxu_group_plans())
 
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -332,9 +334,12 @@ class NttContext:
             place(self._kl, 0), place(self._kh, 0), place(self._q2, 1))
         return mxu_ntt.MxuRef(plan, tuple(range(idx.size)))
 
-    def _mxu_master_tables(self):
+    def _mxu_master_tables(self, ch_lo=None, ch_hi=None, dA=None, dB=None,
+                           tag="u"):
         """Host-side MXU table build, disk-cached per parameter set (the
-        object-int digit decomposition costs ~2 s/channel at logN=15)."""
+        object-int digit decomposition costs ~2 s/channel at logN=15
+        without the native runtime). ch_lo/ch_hi restrict to a channel
+        run; dA/dB override the digit parameters (width groups)."""
         import hashlib
 
         from ..fhe.cache.cache import ensure_cache
@@ -342,8 +347,11 @@ class NttContext:
         from . import mxu_ntt
 
         ctx = self.ctx
+        lo = 0 if ch_lo is None else ch_lo
+        hi = len(ctx.q) if ch_hi is None else ch_hi
         key = hashlib.sha256(
-            f"mxu1_{ctx.logN}_{ctx.buffer_bit_length}_"
+            f"mxu3_{tag}_{lo}_{hi}_{dA}_{dB}_"
+            f"{ctx.logN}_{ctx.buffer_bit_length}_"
             f"{'_'.join(str(q) for q in ctx.q)}".encode()).hexdigest()[:24]
         path = None
         try:
@@ -356,13 +364,14 @@ class NttContext:
                         for k in z.files}
         except Exception:
             path = None
-        qs = list(ctx.q)
+        qs = list(ctx.q)[lo:hi]
         psis = [primitive_root_2N(q, ctx.N) for q in qs]
         ipsis = [pow(p, -1, q) for p, q in zip(psis, qs)]
         Rms = [ctx.R % q for q in qs]
         Ninvs = [pow(ctx.N, -1, q) for q in qs]
         d = mxu_ntt.make_plan(ctx.logN, qs, Rms, psis, ipsis, Ninvs,
-                              word_bits=ctx.buffer_bit_length)
+                              word_bits=ctx.buffer_bit_length,
+                              dA=dA, dB=dB)
         d = {k: (v if isinstance(v, int) else np.asarray(v))
              for k, v in d.items()}
         if path is not None:
@@ -371,6 +380,33 @@ class NttContext:
             except Exception:
                 pass
         return d
+
+    def _mxu_group_plans(self):
+        """Width-grouped master plans ((gstart, gstop, MxuPlan), ...) for
+        the fused Pallas MXU kernels (mxu_pallas.dispatch): each
+        contiguous run of equal-width moduli gets tables at its own digit
+        parameters — the 40-bit scale primes run dA=dB=6 (36 MACs, ~56%
+        of the table bytes) vs the uniform 62-bit (8, 8)."""
+        from .. import config
+        from . import mxu_ntt
+
+        if not config.use_mxu_pallas:
+            return ()
+        if self._mxu_groups is None:
+            groups = []
+            for gi, (s, e, (dA, dB)) in enumerate(
+                    mxu_ntt.width_groups(self.ctx.q)):
+                d = self._mxu_master_tables(s, e, dA, dB, tag=f"g{gi}")
+                d = {k: (v if isinstance(v, int) else jnp.asarray(v))
+                     for k, v in d.items()}
+                sl = slice(s, e)
+                plan = mxu_ntt.plan_from_dict(
+                    d, jnp.asarray(self._ql[sl]), jnp.asarray(self._qh[sl]),
+                    jnp.asarray(self._kl[sl]), jnp.asarray(self._kh[sl]),
+                    jnp.asarray(self._q2[:, sl]))
+                groups.append((s, e, plan))
+            self._mxu_groups = tuple(groups)
+        return self._mxu_groups
 
     def _maybe_pallas_plan(self, idx, sharded=False):
         """A pallas_ntt plan for this channel set, when the Pallas backend

@@ -309,9 +309,8 @@ def ntt(a, pack, signed=False):
         if config.use_mxu_pallas and config.pallas_enabled():
             from . import mxu_pallas
 
-            plan, off, _ = mxu_pallas.resolve_ref(pack.mxu)
-            return mxu_pallas.ntt(a, plan, ch_off=off,
-                                  interpret=config.pallas_interpret)
+            return mxu_pallas.dispatch(a, pack.mxu,
+                                       interpret=config.pallas_interpret)
         return mxu_ntt.ntt(a, pack.mxu.resolve())
     if pack.pallas is not None:
         from .. import config
@@ -391,9 +390,8 @@ def intt(a, pack, signed=False):
         if config.use_mxu_pallas and config.pallas_enabled():
             from . import mxu_pallas
 
-            plan, off, _ = mxu_pallas.resolve_ref(pack.mxu)
-            return mxu_pallas.intt_no_norm_factor(
-                a, plan, ch_off=off, interpret=config.pallas_interpret)
+            return mxu_pallas.dispatch(a, pack.mxu, inverse=True,
+                                       interpret=config.pallas_interpret)
         return mxu_ntt.intt_no_norm_factor(a, pack.mxu.resolve())
     if pack.pallas is not None:
         from .. import config
@@ -415,6 +413,15 @@ def enter_ntt(a, pack):
 
         return coef_shard.ntt_coef_sharded(a, pack.coef, pre_enter=True)
     if pack.mxu is not None:
+        from .. import config
+
+        if config.use_mxu_pallas and config.pallas_enabled():
+            from . import mxu_pallas
+
+            # Montgomery enter folded into the stage-1 tables: the
+            # transform of a*R in one kernel (no XLA mont_enter pass).
+            return mxu_pallas.dispatch(a, pack.mxu, enter=True,
+                                       interpret=config.pallas_interpret)
         return ntt(mont_enter(a, pack), pack)
     if pack.pallas is not None:
         from .. import config
@@ -433,6 +440,17 @@ def intt_exit(a, pack, signed=False):
             a = make_unsigned(a, pack)
         return coef_shard.intt_coef_sharded(a, pack.coef, post_exit=True)
     if pack.mxu is not None:
+        from .. import config
+
+        if config.use_mxu_pallas and config.pallas_enabled():
+            from . import mxu_pallas
+
+            if signed:
+                a = make_unsigned(a, pack)
+            # Montgomery exit folded into the stage-2 tables.
+            return mxu_pallas.dispatch(a, pack.mxu, inverse=True,
+                                       exitx=True,
+                                       interpret=config.pallas_interpret)
         r = intt(a, pack, signed=signed)
         return mont_redc(r, pack)
     if pack.pallas is not None:
@@ -455,6 +473,16 @@ def intt_exit_reduce(a, pack, signed=False):
         return coef_shard.intt_coef_sharded(a, pack.coef, post_exit=True,
                                             post_reduce=True)
     if pack.mxu is not None:
+        from .. import config
+
+        if config.use_mxu_pallas and config.pallas_enabled():
+            from . import mxu_pallas
+
+            if signed:
+                a = make_unsigned(a, pack)
+            return mxu_pallas.dispatch(a, pack.mxu, inverse=True,
+                                       exitx=True, post_reduce=True,
+                                       interpret=config.pallas_interpret)
         return reduce_2q(intt_exit(a, pack, signed=signed), pack)
     if pack.pallas is not None:
         from .. import config
@@ -476,6 +504,16 @@ def intt_reduce(a, pack):
     (config.use_shoup_extend): the basis extension is plain-domain, so
     the ksk products carry exactly one R factor which the normalize's
     montmul consumes — the result is already plain."""
+    if pack.mxu is not None:
+        from .. import config
+
+        if config.use_mxu_pallas and config.pallas_enabled():
+            from . import mxu_pallas
+
+            return mxu_pallas.dispatch(a, pack.mxu, inverse=True,
+                                       post_reduce=True,
+                                       interpret=config.pallas_interpret)
+        return reduce_2q(intt(a, pack), pack)
     if pack.pallas is not None:
         from .. import config
         from . import pallas_ntt

@@ -196,28 +196,28 @@ def _row_stage_inv_small(lo, hi, rt, s, m, th, c, signed):
 def _lane_extra_rows(logN):
     """Row stages executed INSIDE the lane kernel's transposed view.
 
-    The small-th row stages (th < SMALL_T) are the last of the row
-    schedule when R <= 256 (no BIG_M stage follows), i.e. immediately
-    before the lane phase. In the transposed [LANES, R] view their row
-    index lives on the LANE axis, so the per-row twiddle becomes a
-    lane-oriented [1, R] broadcast (the fast Mosaic form — the natural
-    view needs the slow sublane-oriented [R, 1] form) and the pair
-    exchange is a lane roll. Returns (s, m, th) tuples in ascending s.
+    Only the TRAILING run of small-th row stages (th < SMALL_T, not
+    big-m) may move into the lane kernel — they sit immediately before
+    the lane phase, so executing them first in the lane kernel preserves
+    stage order. In the transposed [LANES, R] view their row index lives
+    on the LANE axis, so the per-row twiddle becomes a lane-oriented
+    [1, R] broadcast (the fast Mosaic form — the natural view needs the
+    slow sublane-oriented [R, 1] form) and the pair exchange is a lane
+    roll. At R > 256 the last row stages are BIG_M transposed-domain
+    stages, so the trailing run is empty (gold/platinum keep the
+    natural-view masked form). Returns (s, m, th) tuples in ascending s.
     """
     R = (1 << logN) // LANES
-    if R > 256:
-        # A BIG_M row stage follows the small-th ones: moving them into
-        # the lane kernel would reorder stages. Keep the natural-view
-        # masked form (gold/platinum).
-        return ()
     n_row = logN - LANE_STAGES
     out = []
-    for s in range(n_row):
+    for s in reversed(range(n_row)):
         m = 1 << s
         th = max(R // (2 * m), 1)
         if th < SMALL_T and m < BIG_M:
             out.append((s, m, th))
-    return tuple(out)
+        else:
+            break
+    return tuple(reversed(out))
 
 
 def _lane_mask_t(th, R):

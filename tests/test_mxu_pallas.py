@@ -45,10 +45,17 @@ def setup():
     return plan, q_list, jnp.asarray(u64.from_int64_np(a_int))
 
 
+def _canon(packed, q_list):
+    p = np.asarray(packed)
+    v = (p[1].astype(np.uint64) << np.uint64(32)) | p[0].astype(np.uint64)
+    return v % np.array(q_list, dtype=np.uint64)[:, None]
+
+
 def test_forward_bit_exact(setup):
     plan, q_list, a = setup
     want = np.asarray(mxu_ntt.ntt(a, plan))
-    got = np.asarray(mxu_pallas.ntt(a, plan, interpret=True))
+    got = np.asarray(mxu_pallas.ntt(a, plan, interpret=True,
+                                    shoup_rec=False))
     np.testing.assert_array_equal(got, want)
 
 
@@ -56,16 +63,34 @@ def test_inverse_bit_exact(setup):
     plan, q_list, a = setup
     f = mxu_ntt.ntt(a, plan)
     want = np.asarray(mxu_ntt.intt_no_norm_factor(f, plan))
-    got = np.asarray(mxu_pallas.intt_no_norm_factor(f, plan,
-                                                    interpret=True))
+    got = np.asarray(mxu_pallas.intt_no_norm_factor(
+        f, plan, interpret=True, shoup_rec=False))
     np.testing.assert_array_equal(got, want)
+
+
+def test_shoup_recombine_mod_q(setup):
+    """The Barrett/Shoup recombination produces the same values mod q as
+    the Montgomery recombination, in [0, 2q)."""
+    plan, q_list, a = setup
+    for inv in (False, True):
+        f = (mxu_pallas.intt_no_norm_factor if inv else mxu_pallas.ntt)
+        want = f(a, plan, interpret=True, shoup_rec=False)
+        got = f(a, plan, interpret=True, shoup_rec=True)
+        gi = _canon(got, q_list)
+        np.testing.assert_array_equal(gi, _canon(want, q_list))
+        # lazy bound
+        p = np.asarray(got)
+        v = (p[1].astype(np.uint64) << np.uint64(32)) \
+            | p[0].astype(np.uint64)
+        assert np.all(v < 2 * np.array(q_list, dtype=np.uint64)[:, None])
 
 
 def test_batched_bit_exact(setup):
     plan, q_list, a = setup
     ab = jnp.stack([a, a[:, ::-1]], axis=1)      # [2, B=2, C, N]
     want = np.asarray(mxu_ntt.ntt(ab, plan))
-    got = np.asarray(mxu_pallas.ntt(ab, plan, interpret=True))
+    got = np.asarray(mxu_pallas.ntt(ab, plan, interpret=True,
+                                    shoup_rec=False))
     np.testing.assert_array_equal(got, want)
 
 
@@ -80,6 +105,76 @@ def test_ch_off_matches_resolved(setup):
     got = np.asarray(mxu_pallas.ntt(asub, plan, interpret=True,
                                     ch_off=off))
     np.testing.assert_array_equal(got, want)
+
+
+def test_width_groups_dispatch(setup):
+    """Per-width-group digit parameters through MxuRef dispatch: same
+    values mod q as the uniform word-size tables."""
+    from liberate_tpu.fhe.context.ckks_context import CkksContext, \
+        primitive_root_2N as pr2N
+
+    plan, q_list, a = setup
+    groups = mxu_ntt.width_groups(q_list)
+    assert len(groups) >= 2, "test params should span two widths"
+    gplans = []
+    for (s, e, (dA, dB)) in groups:
+        qs = q_list[s:e]
+        psis = [pr2N(q, 1 << LOGN) for q in qs]
+        ipsis = [pow(p, -1, q) for p, q in zip(psis, qs)]
+        d = mxu_ntt.make_plan(LOGN, qs, [pow(2, 62, q) for q in qs],
+                              psis, ipsis,
+                              [pow(1 << LOGN, -1, q) for q in qs],
+                              dA=dA, dB=dB)
+        sub = mxu_ntt.take_channels(plan, tuple(range(s, e)))
+        gp = mxu_ntt.plan_from_dict(d, sub.ql, sub.qh, sub.kl, sub.kh,
+                                    sub.q2)
+        assert gp.dA <= plan.dA and gp.dB <= plan.dB
+        gplans.append((s, e, gp))
+    ref = mxu_ntt.MxuRef(plan, tuple(range(len(q_list))),
+                         groups=tuple(gplans))
+    got = mxu_pallas.dispatch(a, ref, interpret=True)
+    want = mxu_pallas.ntt(a, plan, interpret=True)
+    np.testing.assert_array_equal(_canon(got, q_list),
+                                  _canon(want, q_list))
+    goti = mxu_pallas.dispatch(mxu_pallas.ntt(a, plan, interpret=True),
+                               ref, inverse=True, interpret=True)
+    wanti = mxu_pallas.intt_no_norm_factor(
+        mxu_pallas.ntt(a, plan, interpret=True), plan, interpret=True)
+    np.testing.assert_array_equal(_canon(goti, q_list),
+                                  _canon(wanti, q_list))
+
+
+def test_enter_exit_folded_tables(setup):
+    """m1e == transform of a*R; i2x == inverse with the Montgomery exit
+    folded; post_reduce lands in [0, q). All mod q vs host-side
+    oracles."""
+    plan, q_list, a = setup
+    qs = np.array(q_list, dtype=np.uint64)
+    ai = u64.to_int64_np(np.asarray(a)).astype(np.uint64)
+    R = 1 << 62
+    aR = np.array([[(int(x) * R) % int(q) for x in row]
+                   for row, q in zip(ai, q_list)], dtype=np.uint64)
+    aRp = jnp.asarray(u64.from_int64_np(aR.astype(np.int64)))
+    want = _canon(mxu_pallas.ntt(aRp, plan, interpret=True), q_list)
+    got = _canon(mxu_pallas.ntt(a, plan, interpret=True, enter=True),
+                 q_list)
+    np.testing.assert_array_equal(got, want)
+
+    f = mxu_pallas.ntt(a, plan, interpret=True)
+    base = _canon(mxu_pallas.intt_no_norm_factor(f, plan, interpret=True),
+                  q_list)
+    want_x = np.array([[(int(x) * pow(R, -1, int(q))) % int(q)
+                        for x in row]
+                       for row, q in zip(base, q_list)], dtype=np.uint64)
+    got_x = mxu_pallas.intt_no_norm_factor(f, plan, interpret=True,
+                                           exitx=True)
+    np.testing.assert_array_equal(_canon(got_x, q_list), want_x)
+    got_r = np.asarray(mxu_pallas.intt_no_norm_factor(
+        f, plan, interpret=True, exitx=True, post_reduce=True))
+    v = (got_r[1].astype(np.uint64) << np.uint64(32)) \
+        | got_r[0].astype(np.uint64)
+    assert np.all(v < qs[:, None])
+    np.testing.assert_array_equal(v % qs[:, None], want_x)
 
 
 def _mxu_engine_mult(use_pallas_kernels):
