@@ -40,14 +40,10 @@ pallas_interpret = False
 # enqueue-rate timings; see BASELINE.md "Measurement methodology".)
 use_fused_switch = True
 
-# Fused Pallas mod-down (special-prime removal): keeps the whole n_sp
-# iteration loop in VMEM on full (8,128) tiles; the composed XLA chain
-# materializes ~5*n_sp intermediates in HBM with degenerate T(1,128)
-# layouts (~1/8 vector utilization). Bit-exact with the composed ops
-# (tests/test_fused_moddown.py). OFF: the kernel's XLA-side compile on
-# the remote TPU compiler did not terminate within 40 minutes (round 2);
-# root cause open.
-use_fused_moddown = False
+# (A fused Pallas mod-down kernel existed rounds 2-4 but never shipped:
+# its XLA-side compile on the remote TPU service did not terminate, and
+# the Shoup plain-domain mod-down (use_shoup_moddown below) + the tiled
+# XLA variant (use_tiled_moddown) supersede it. Removed in round 5.)
 
 # MXU (matmul) NTT backend: the transform as int8 einsums on the
 # systolic array (liberate_tpu.ntt.mxu_ntt) instead of VPU butterflies.
@@ -154,7 +150,7 @@ use_shoup_extend = True
 # [2, C, N/128, 128] view, so the dropped-channel broadcast operand is
 # [2, 1, R, 128] (full 8-sublane tiles) instead of [2, 1, N] (T(1,128)
 # degenerate tiling, 1/8 vector utilization). Bit-exact with the flat
-# chain (tests/test_fused_moddown.py::test_tiled_matches_composed).
+# chain (tests/test_moddown.py::test_tiled_matches_composed).
 # ON: the single biggest tiled win in the round-3 on-device A/B
 # (21.3 vs 26.8 ms base alone at silver).
 use_tiled_moddown = True

@@ -1342,13 +1342,6 @@ class CkksEngine:
             AND the full array), and XLA's fusion otherwise duplicates the
             whole upstream chain into both consumers — exponential compile
             time in the number of special primes."""
-            if (config.use_fused_moddown and pack_sp.pallas is not None
-                    and pack_sp.pallas.mesh is None):
-                # Single Pallas kernel: whole loop in VMEM, full-tile
-                # vector ops, bit-exact with the chain below.
-                return pallas_ntt.mod_down(
-                    d, pack_sp.pallas, enter_ord, tuple(PiRs), W_ord,
-                    C_sp=C_sp, interpret=config.pallas_interpret)
             if config.use_tiled_moddown:
                 return _mod_down_tiled(d, pack_sp, pack_ord, tuple(PiRs),
                                        enter_ord, n_sp, C_sp, W_sp, W_ord)

@@ -134,13 +134,17 @@ def pack_slice(pack, start, stop, with_psi=False):
 
 
 def fit_channels(d, W):
-    """Slice or edge-pad the channel axis (axis -2) to width ``W``.
+    """Slice or zero-pad the channel axis (axis -2) to width ``W``.
 
     The multi-chip layout pads every channel axis to a multiple of the mesh
     size (see liberate_tpu.parallel): real channels are always a contiguous
-    prefix, padding repeats the last real channel (whose pack constants are
-    likewise repeated), so padded rows stay bounded under every modular op
-    and are simply never read back.
+    prefix; padded rows are never read back and only need to stay bounded
+    under every modular op, which zeros do ([0, q) closed under the whole
+    lazy-residue op set). Zero-pad specifically (NOT mode="edge"): the
+    edge pad lowers to slice+broadcast+reshape, which the GSPMD
+    partitioner can only reshard by full rematerialization on sharded
+    channel axes (the round-4 keygen SPMD warning); a constant pad is one
+    trivially-shardable HLO.
     """
     C = d.shape[-2]
     if C == W:
@@ -149,7 +153,7 @@ def fit_channels(d, W):
         return d[..., :W, :]
     pad = [(0, 0)] * d.ndim
     pad[-2] = (0, W - C)
-    return jnp.pad(d, pad, mode="edge")
+    return jnp.pad(d, pad)
 
 
 def mont_add(a, b, pack):

@@ -690,110 +690,6 @@ def supports_fused_accum(plan) -> bool:
     return (1 << plan.logN) // LANES <= SPLIT_ROWS
 
 
-def _mod_down_kernel(cref, pirs_ref, x_ref, o_ref, *, n_sp, W_ord, C_sp):
-    """Fused special-prime removal (the engine's mod_down inner loop).
-
-    One block holds ALL channels for an N-tile, so the cross-channel
-    reads (the dropped special channel broadcast against every channel)
-    stay in VMEM and every elementwise Montgomery op runs on full
-    (sublane, lane) tiles — the composed XLA chain materializes each of
-    the ~5*n_sp intermediates in HBM in degenerate T(1,128) layouts.
-    Bit-exact with the composed ops: identical per-element op order
-    (engine _switcher_fn mod_down; reference: ckks_engine.py:846-901).
-
-    Per-channel constants ride in VMEM, lane-broadcast on the host to
-    [.., C, 1, LANES] so the in-kernel broadcast against [C, Rt, LANES]
-    data is sublane-only (Mosaic rejects vector loads from SMEM and
-    single-op sublane+lane broadcasts).
-
-    cref [8, C_sp, 1, LANES] VMEM: ql qh kl kh q2l q2h enter_l enter_h.
-    pirs_ref [2*n_sp, C_sp, 1, LANES] VMEM (lo planes then hi planes —
-    rank-4 like cref; Mosaic's layout inference is only exercised on
-    rank<=4 refs elsewhere in this file). x [2, C_sp, Rt, LANES].
-    o [2, W_ord, Rt, LANES].
-    """
-    ql, qh = cref[0], cref[1]
-    kl, kh = cref[2], cref[3]
-    q2 = (cref[4], cref[5])
-    enter = (cref[6], cref[7])
-    q = u64.shr(q2, 1)
-
-    def mm_s(a, b):
-        return u64.montmul_signed(a, b, ql, qh, kl, kh)
-
-    def reduce2q(a):
-        lt = u64.lt_signed(a, q)
-        return u64.select(lt, a, u64.sub(a, q))
-
-    d = (x_ref[0], x_ref[1])
-    d = mm_s(d, enter)
-    for P_ind in range(n_sp):
-        cur = C_sp - P_ind
-        tile = (jnp.broadcast_to(d[0][cur - 1:cur], d[0].shape),
-                jnp.broadcast_to(d[1][cur - 1:cur], d[1].shape))
-        tile = mm_s(tile, enter)
-        s = u64.sub(u64.add(d, q2), tile)          # mont_sub
-        d = _cond_sub(s, q2)
-        pir = (pirs_ref[P_ind], pirs_ref[n_sp + P_ind])
-        d = mm_s(d, pir)
-        d = reduce2q(d)
-    dl, dh = d[0][:W_ord], d[1][:W_ord]
-    qlo, qho = ql[:W_ord], qh[:W_ord]
-    klo, kho = kl[:W_ord], kh[:W_ord]
-    r = u64.montredc_signed((dl, dh), qlo, qho, klo, kho)
-    qo = (q[0][:W_ord], q[1][:W_ord])
-    lt = u64.lt_signed(r, qo)
-    r = u64.select(lt, r, u64.sub(r, qo))
-    o_ref[0] = r[0]
-    o_ref[1] = r[1]
-
-
-def mod_down(d, plan, enter_ord, PiRs, W_ord, C_sp=None, interpret=False):
-    """d: [2, W_sp, N] (signed Montgomery, intt_exit_reduce output).
-    enter_ord: packed [2, W_sp]; PiRs: tuple of packed [2, W_sp] (one per
-    special prime). C_sp: count of real channels (= W_sp unpadded; the
-    dropped special row each iteration is indexed from it). Returns
-    [2, W_ord, N] plain in [0, q).
-    """
-    _, W_sp, N = d.shape
-    if C_sp is None:
-        C_sp = W_sp
-    n_sp = len(PiRs)
-    R = N // LANES
-    # block size: full channel axis x Rt rows; cap the live set ~4 MiB.
-    rt = R
-    while W_sp * rt * LANES * 8 * 2 > (4 << 20) and rt > 8:
-        rt //= 2
-    consts = jnp.concatenate([plan.consts[:6], enter_ord], axis=0)
-    consts = jnp.broadcast_to(consts[:, :, None, None],
-                              (8, consts.shape[1], 1, LANES))
-    # [2*n_sp, W_sp]: lo planes for every special prime, then hi planes.
-    pirs = jnp.concatenate([jnp.stack([p[0] for p in PiRs], axis=0),
-                            jnp.stack([p[1] for p in PiRs], axis=0)], axis=0)
-    pirs = jnp.broadcast_to(pirs[:, :, None, None],
-                            (2 * n_sp, W_sp, 1, LANES))
-    kern = functools.partial(_mod_down_kernel, n_sp=n_sp, W_ord=W_ord,
-                             C_sp=C_sp)
-    xv = d.reshape(2, W_sp, R, LANES)
-    out = pl.pallas_call(
-        kern,
-        grid=(R // rt,),
-        in_specs=[
-            pl.BlockSpec(consts.shape, lambda t: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(pirs.shape, lambda t: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, W_sp, rt, LANES), lambda t: (0, 0, t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((2, W_ord, rt, LANES), lambda t: (0, 0, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, W_ord, R, LANES), d.dtype),
-        interpret=interpret,
-    )(consts, pirs, xv)
-    return out.reshape(2, W_ord, N)
-
-
 def _ksk_mulacc_kernel(cref, x_ref, k0_ref, k1_ref, o0_ref, o1_ref):
     """Tail of the key-switch core as its own kernel: multiply the NTT'd
     basis-extension block by both ksk halves and accumulate over the part

@@ -1,9 +1,13 @@
-"""Fused Pallas mod-down kernel vs the composed-ops chain: bit-exact.
+"""Tiled XLA mod-down (config.use_tiled_moddown) vs the flat composed
+chain: bit-exact.
 
-The kernel mirrors the engine's mod_down loop element-op for element-op
-(engine _switcher_fn; reference: ckks_engine.py:846-901), so outputs
-must be IDENTICAL representatives, not just congruent.
+The tiled variant mirrors the engine's mod_down loop element-op for
+element-op (engine _switcher_fn; reference: ckks_engine.py:846-901), so
+outputs must be IDENTICAL representatives, not just congruent.
+(The fused Pallas mod-down kernel this file once covered was removed in
+round 5: superseded by the Shoup plain-domain mod-down.)
 """
+
 
 import numpy as np
 import jax
@@ -13,22 +17,8 @@ import pytest
 import liberate_tpu
 from liberate_tpu import config
 from liberate_tpu.fhe.context.ckks_context import CkksContext
-from liberate_tpu.ntt import ops, pallas_ntt, u64
+from liberate_tpu.ntt import ops, u64
 from liberate_tpu.ntt.ntt_context import NttContext
-
-
-@pytest.fixture()
-def pallas_interpret():
-    config.use_pallas = True
-    _shoup_prev = config.use_shoup_twiddles
-    config.use_shoup_twiddles = False  # bit-exact parity mode
-    config.pallas_interpret = True
-    try:
-        yield
-    finally:
-        config.use_pallas = None
-        config.use_shoup_twiddles = _shoup_prev
-        config.pallas_interpret = False
 
 
 def _composed_mod_down(d, pack_sp, pack_ord, PiRs, enter_ord, n_sp, C_sp,
@@ -43,53 +33,6 @@ def _composed_mod_down(d, pack_sp, pack_ord, PiRs, enter_ord, n_sp, C_sp,
         d = ops.reduce_2q(d, pack_sp)
     d = ops.mont_redc_signed(d[:, :W_ord], pack_ord)
     return ops.reduce_2q(d, pack_ord)
-
-
-def test_kernel_matches_composed(pallas_interpret):
-    logN, level = 9, 1
-    eng = liberate_tpu.CkksEngine(logN=logN, scale_bits=30, num_scales=5,
-                                  num_special_primes=2, is_secured=False,
-                                  seed=3)
-    nc = eng.ntt
-    pack_sp = nc.level_pack(level, -2)
-    pack_ord = nc.level_pack(level, -1)
-    assert pack_sp.pallas is not None
-    n_sp = eng.num_special
-    C_sp = nc.num_channels(level, -2)
-    W_sp = nc.padded_channels(level, -2)
-    W_ord = nc.padded_channels(level, -1)
-    PiRs = tuple(eng.PiRs[level])
-    enter_ord = eng.enter_ord[level]
-
-    rng = np.random.default_rng(44)
-    qs = np.array(nc.q_ints(level, -2), dtype=np.uint64)
-    d_int = (rng.integers(0, 1 << 62, size=(C_sp, 1 << logN),
-                          dtype=np.uint64) % (2 * qs[:, None]))
-    d = jnp.asarray(u64.from_int64_np(d_int.astype(np.int64)))
-
-    want = _composed_mod_down(d, pack_sp, pack_ord, PiRs, enter_ord,
-                              n_sp, C_sp, W_sp, W_ord)
-    got = pallas_ntt.mod_down(d, pack_sp.pallas, enter_ord, PiRs, W_ord,
-                              C_sp=C_sp, interpret=True)
-    assert np.array_equal(np.asarray(got), np.asarray(want))
-
-
-def test_engine_end_to_end_with_fused_moddown(pallas_interpret):
-    config.use_fused_moddown = True
-    try:
-        eng = liberate_tpu.CkksEngine(logN=8, scale_bits=30, num_scales=3,
-                                      num_special_primes=2,
-                                      is_secured=False, seed=7)
-        sk = eng.create_secret_key()
-        pk = eng.create_public_key(sk)
-        evk = eng.create_evk(sk)
-        m1 = eng.example(amin=-1, amax=1)
-        m2 = eng.example(amin=-1, amax=1)
-        ct = eng.mult(eng.encorypt(m1, pk), eng.encorypt(m2, pk), evk)
-        err = abs(eng.absmax_error(eng.decrode(ct, sk), m1 * m2))
-        assert err < 1e-5
-    finally:
-        config.use_fused_moddown = False
 
 
 def test_tiled_matches_composed():
