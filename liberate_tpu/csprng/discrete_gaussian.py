@@ -28,19 +28,23 @@ def build_CDT_binary_search_tree(security_bits=128, sigma=3.2):
 
     sampling_power = math.ceil(math.log2(6 * sigma))
     num_sampling_points = 2 ** sampling_power
-    sampling_points = list(range(num_sampling_points))
 
-    mp_sigma = mpm.mpf(str(sigma))
-    mp_two = mpm.mpf("2")
-    S = mp_sigma * mpm.sqrt(mp_two * mpm.pi)
-    prob = lambda x: mpm.exp(-mpm.mpf(str(x)) ** 2 / (mp_two * mp_sigma ** 2)) / S
-    probs = [prob(x) for x in sampling_points]
-    probs[0] /= 2  # half-plane: halve P(0)
+    # Gaussian weights over the half plane at 256-bit working precision:
+    # P(x) ∝ exp(-x²/2σ²)/(σ√2π), with the x=0 weight halved (it is
+    # shared between the two half planes). The running sums are then
+    # fixed-point scaled to 2^security_bits integers.
+    sig = mpm.mpf(str(sigma))
+    two = mpm.mpf("2")
+    norm = sig * mpm.sqrt(two * mpm.pi)
+    weights = [mpm.exp(-mpm.mpf(str(x)) ** 2 / (two * sig ** 2)) / norm
+               for x in range(num_sampling_points)]
+    weights[0] /= 2
 
-    CDT = [0]
-    for P in probs:
-        CDT.append(CDT[-1] + P)
-    CDT = [int(x * mp_two ** mpm.mpf(str(security_bits))) for x in CDT]
+    cdf = [mpm.mpf(0)]
+    for wt in weights:
+        cdf.append(cdf[-1] + wt)
+    scale = two ** mpm.mpf(str(security_bits))
+    CDT = [int(c * scale) for c in cdf]
 
     # Expanded binary tree over the CDT (layer by layer; node k of layer d
     # indexes CDT entry (2k+1) * tau / 2^(d+1)).

@@ -21,9 +21,11 @@ import numpy as np
 
 
 def circular_shift_permutation(N, shift=1):
-    left = np.roll(np.arange(N // 2), shift)
-    right = np.roll(np.arange(N // 2), -shift) + N // 2
-    return np.concatenate([left, right])
+    """Half-wise circular shift: the lower N/2 slots roll forward by
+    ``shift``, the upper half rolls backward by the same amount."""
+    h = N // 2
+    idx = np.arange(h)
+    return np.concatenate([(idx - shift) % h, (idx + shift) % h + h])
 
 
 def canon_permutation(N, k=1):
@@ -46,36 +48,35 @@ def fold_permutation(p):
 
 
 def permutation_cycles(perm):
-    pi = {i: int(perm[i]) for i in range(len(perm))}
+    """Cycle decomposition. Each cycle is listed starting from the IMAGE
+    of its smallest member and follows the map until it closes — the
+    phase convention conjugate_permutation's elementwise alignment
+    assumes on both of its operands."""
+    remaining = dict(enumerate(int(x) for x in perm))
     cycles = []
-    while pi:
-        start = next(iter(pi))
-        this_elem = pi[start]
-        nxt = pi[this_elem]
+    while remaining:
+        cur = remaining[min(remaining)]
         cycle = []
-        while True:
-            cycle.append(this_elem)
-            del pi[this_elem]
-            this_elem = nxt
-            if nxt in pi:
-                nxt = pi[nxt]
-            else:
-                break
+        while cur in remaining:
+            cycle.append(cur)
+            cur = remaining.pop(cur)
         cycles.append(cycle)
     return cycles
 
 
 def conjugate_permutation(p, q):
-    """Find r with r o q = p-ish by aligning cycle structures (stacking p on q)."""
-    pc = permutation_cycles(p)
-    qc = permutation_cycles(q)
-    assert [len(c) for c in pc] == [len(c) for c in qc], (
-        "Cycle structures of permutations must match for a conjugate to exist"
+    """A permutation r carrying the orbit structure of q onto p (so
+    r maps q-cycles to p-cycles elementwise, giving r∘q∘r⁻¹ = p): both
+    are decomposed with the same phase convention and the k-th q-cycle
+    is matched against the k-th p-cycle position by position."""
+    p_cycles = permutation_cycles(p)
+    q_cycles = permutation_cycles(q)
+    assert [len(c) for c in p_cycles] == [len(c) for c in q_cycles], (
+        "permutations with different cycle spectra have no conjugator"
     )
-    pe = np.array([i for c in pc for i in c])
-    qe = np.array([i for c in qc for i in c])
     r = np.zeros_like(np.asarray(p))
-    r[qe] = pe
+    for p_cyc, q_cyc in zip(p_cycles, q_cycles):
+        r[q_cyc] = p_cyc
     return r
 
 

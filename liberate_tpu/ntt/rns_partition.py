@@ -48,11 +48,16 @@ class RnsPartition:
                                      num_ordinary_primes + alpha)))
         self.partitions = partitions
 
-        # Round-robin deal of scale partitions to devices, from the top
-        # (matches the reference's alloc); device 0 additionally owns the
-        # base partition; every device holds the special partition.
-        alloc = lambda i: list(range(num_partitions - i - 1, -1, -num_devices))[::-1]
-        part_allocations = [alloc(i) for i in range(num_devices)]
+        # Round-robin deal of scale partitions to devices, dealt from the
+        # TOP partition down (device i takes partitions top-i, top-i-D,
+        # ... — same placement as the reference's allocation); device 0
+        # additionally owns the base partition; every device holds the
+        # special partition.
+        def deal(dev):
+            owned = range(num_partitions - 1 - dev, -1, -num_devices)
+            return sorted(owned)
+
+        part_allocations = [deal(i) for i in range(num_devices)]
         part_allocations[0].append(num_partitions)
         for p in part_allocations:
             p.append(num_partitions + 1)
