@@ -231,6 +231,15 @@ def _call(kernel, a, plan, t1, r1, tw, t2, r2, in_rows, out_rows,
         interpret=interpret,
     )(consts, av, t1, r1, tw, t2, r2)
 
+    # Load-bearing: when the kernel output has multiple consumers (e.g.
+    # the B=4 enter_ntt stack in _cc_mult_core feeding four mont_mults),
+    # XLA's fusion pass produces WRONG VALUES for the width-group calls
+    # on both the CPU interpret path and the compiled TPU path (round-5
+    # root-cause of the engine-level MXU A/B failure: channels of the
+    # narrow-digit group decode to garbage while a single-consumer use of
+    # the same kernel is bit-exact). The barrier pins the kernel output
+    # as one materialized value before fan-out.
+    out = jax.lax.optimization_barrier(out)
     out = out.reshape(2, B, C, N)
     return out if batched else out[:, 0]
 
@@ -279,7 +288,13 @@ def dispatch(a, mxu_ref, inverse=False, interpret=False, **kw):
                 continue
             outs.append(f(a[..., lo - start:hi - start, :], gplan,
                           ch_off=lo - gs, interpret=interpret, **kw))
-        return jnp.concatenate(outs, axis=-2) if len(outs) > 1 else outs[0]
+        if len(outs) == 1:
+            return outs[0]
+        # The barrier is load-bearing (see _call): a multi-consumer
+        # concat of the per-group kernel outputs miscompiles the same
+        # way the raw kernel output does.
+        return jax.lax.optimization_barrier(
+            jnp.concatenate(outs, axis=-2))
     if contig:
         return f(a, mxu_ref.plan, ch_off=idx[0], interpret=interpret, **kw)
     return f(a, mxu_ref.resolve(), interpret=interpret, **kw)
@@ -464,4 +479,6 @@ def ntt_ksk_accum(ext, k0_full, k1_full, plan, level, part_off,
         out_shape=[out_shape, out_shape],
         interpret=interpret,
     )(consts, xv, t1, r1, tw, t2, r2, k0v, k1v)
+    # Same multiple-consumer fusion hazard as _call (see there).
+    o0, o1 = jax.lax.optimization_barrier((o0, o1))
     return o0.reshape(2, C, N), o1.reshape(2, C, N)

@@ -223,3 +223,50 @@ def test_engine_fused_mxu_switch_matches_xla():
         ib = (pb[1].astype(np.uint64) << np.uint64(32)) \
             | pb[0].astype(np.uint64)
         np.testing.assert_array_equal(ia % qcol, ib % qcol)
+
+
+def test_group_dispatch_multi_consumer_jit():
+    """Round-5 regression: a width-group dispatch output consumed by
+    MULTIPLE downstream ops inside one jit produced wrong values for the
+    narrow-digit group's channels (CPU interpret AND compiled TPU) until
+    mxu_pallas pinned the kernel/concat outputs with
+    jax.lax.optimization_barrier. This drives the exact failing pattern:
+    _cc_mult_core's B=4 enter_ntt stack fanning out into four mont_mults
+    at scale_bits=40 (two width groups), jit vs eager."""
+    import jax
+
+    import liberate_tpu
+    from liberate_tpu import config
+    from liberate_tpu.fhe.engine import _cc_mult_core
+
+    config.use_mxu_ntt = True
+    config.use_mxu_pallas = True
+    config.use_pallas = True
+    config.pallas_interpret = True
+    try:
+        eng = liberate_tpu.CkksEngine(seed=1, logN=9, scale_bits=40,
+                                      num_special_primes=2, num_scales=3,
+                                      is_secured=False)
+        pack = eng.pack(1, -1)
+        assert len(pack.mxu.groups) >= 2, "config must span 2 width groups"
+        C = int(pack.q2.shape[1])
+        qs = np.array(eng.ntt.q_ints(1, -1), dtype=np.uint64)
+        rng = np.random.default_rng(23)
+        ds = []
+        for _ in range(4):
+            v = (rng.integers(0, 1 << 62, size=(C, eng.ctx.N),
+                              dtype=np.uint64) % (2 * qs[:, None]))
+            ds.append(jnp.asarray(u64.from_int64_np(v.astype(np.int64))))
+        want = _cc_mult_core.__wrapped__(*ds, pack)   # eager
+        got = _cc_mult_core(*ds, pack)                # jit
+        for g, w in zip(got, want):
+            gv = u64.to_int64_np(np.asarray(g)).astype(np.uint64) \
+                % qs[:, None]
+            wv = u64.to_int64_np(np.asarray(w)).astype(np.uint64) \
+                % qs[:, None]
+            np.testing.assert_array_equal(gv, wv)
+    finally:
+        config.use_mxu_ntt = False
+        config.use_mxu_pallas = True
+        config.use_pallas = None
+        config.pallas_interpret = False
