@@ -24,7 +24,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 from liberate_tpu import config  # noqa: E402
 
 CONFIGS = {
-    "base": {},
+    # "base" pins the classic Pallas-VPU backend (use_mxu_ntt defaults
+    # to auto=ON on TPU since round 5, so the A/B needs the explicit
+    # False); "default" measures whatever the current defaults resolve
+    # to.
+    "base": {"use_mxu_ntt": False},
+    "default": {},
     "moddown": {"use_tiled_moddown": True},
     "rescale": {"use_tiled_rescale": True},
     "extend": {"use_tiled_extend": True},

@@ -57,13 +57,17 @@ use_fused_switch = True
 # pointwise-domain equivalence (tests/test_mxu.py, test_engine
 # mxu-backend smoke). Works single-chip and on 1-D rns meshes (tables
 # sliced eagerly: level packs channel-sharded, part packs replicated);
-# 2-D coef meshes keep the coef-shard transforms. OFF: lost the round-3
-# on-device A/B (mxu=44.6 ms, mxu_all=33.9 ms vs pallas base=26.8 ms,
-# all=20.9 ms at silver) — as a composed-XLA path it round-trips the
-# [C, dA, S, R] int32 digit intermediates through HBM and forfeits the
-# fused Pallas switch. The matmul formulation only pays fused in VMEM
-# (see pallas_ntt MXU notes / docs/DESIGN.md 6).
-use_mxu_ntt = False
+# 2-D coef meshes keep the coef-shard transforms.
+#
+# Tristate like use_pallas: None (default) = auto — ON on TPU (where the
+# fused VMEM kernels run), OFF elsewhere (CPU tests keep the classic
+# bit-reversed oracle paths). History: the round-2 XLA einsum composition
+# lost the round-3 A/B (44.6 ms vs 26.8 base at silver — HBM round-trips
+# of the int32 digit intermediates); the round-4 fused VMEM kernels
+# (use_mxu_pallas) win it once the round-5 multi-consumer fusion fix
+# landed: 7.34 vs 8.76 ms/mult at silver on v5e (benchmarks/ab_tiled.py
+# mxu_pl vs base, execution-synced, correctness-checked).
+use_mxu_ntt = None
 
 # Fused Pallas MXU kernels for the matmul NTT backend (mxu_pallas.py):
 # the whole digitize -> int8 MXU matmul -> recombine -> twiddle ->
@@ -154,6 +158,16 @@ use_shoup_extend = True
 # ON: the single biggest tiled win in the round-3 on-device A/B
 # (21.3 vs 26.8 ms base alone at silver).
 use_tiled_moddown = True
+
+
+def mxu_enabled() -> bool:
+    """Resolve the use_mxu_ntt tristate (None = auto: TPU only)."""
+    if use_mxu_ntt is not None:
+        return use_mxu_ntt
+    env = os.environ.get("LIBERATE_TPU_MXU")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    return pallas_enabled()
 
 
 def pallas_enabled() -> bool:

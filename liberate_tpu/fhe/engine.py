@@ -1600,6 +1600,73 @@ class CkksEngine:
             ct_mult = self.relinearize(ct_mult, evk)
         return ct_mult
 
+    def _mult_batched_fn(self, level: int, B: int):
+        """vmap of the fused mult program over a ciphertext-batch axis
+        (axis 1 of each data array, after the limb axis). One program,
+        one launch wave for B independent mult+relin+rescales — the MXU
+        and the kernel grids see B times the work per dispatch, which
+        recovers the utilization a single C~19-channel ct cannot reach.
+        TPU-native answer to "stream more work": batch the jit, don't
+        queue more dispatches."""
+        key = ("mult_batched", level, B)
+        if key in self._switcher_cache:
+            return self._switcher_cache[key]
+        base = self._mult_fused_fn(level).__wrapped__
+        n_data = 4
+        n_rest = 14
+        vfn = jax.jit(jax.vmap(base,
+                               in_axes=(1,) * n_data + (None,) * n_rest,
+                               out_axes=1))
+        self._switcher_cache[key] = vfn
+        return vfn
+
+    def mult_batched(self, cts_a, cts_b, evk: DataStruct):
+        """Batched ct-ct multiply + relinearize + rescale: B independent
+        pairs through ONE vmapped fused program. All inputs must sit at
+        one common level. Returns a list of B ciphertexts.
+
+        Reference has no batched API (it loops host-side,
+        ckks_engine.py:1072-1151); this is the throughput-mode entry for
+        TPU serving."""
+        if len(cts_a) != len(cts_b) or not cts_a:
+            raise errors.DifferentTypeError(a=len(cts_a), b=len(cts_b))
+        if not self._use_fused_mult():
+            # platinum-width composed path: no batched program (compile
+            # size); callers loop single mults there.
+            outs = [self.cc_mult(a, b, evk)
+                    for a, b in zip(cts_a, cts_b)]
+            return outs
+        level = cts_a[0].level
+        for ct in (*cts_a, *cts_b):
+            if ct.level != level:
+                raise errors.NotMatchType(origin=f"level {ct.level}",
+                                          to=f"level {level}")
+        nxt = level + 1
+        if nxt >= self.num_levels:
+            raise errors.MaximumLevelError(level=level,
+                                           level_max=self.num_levels)
+        B = len(cts_a)
+        parts = self.ntt.parts(nxt)
+        plans = tuple((p.Y_scalar, p.L_scalar, p.L_enter) for p in parts)
+        plans_sh = tuple(p.L_enter_sh for p in parts)
+        part_packs = tuple(p.pack for p in parts)
+        k0st, k1st = self._ksk_stacked(evk)
+        a0 = jnp.stack([c.data[0] for c in cts_a], axis=1)
+        a1 = jnp.stack([c.data[1] for c in cts_a], axis=1)
+        b0 = jnp.stack([c.data[0] for c in cts_b], axis=1)
+        b1 = jnp.stack([c.data[1] for c in cts_b], axis=1)
+        fn = self._mult_batched_fn(level, B)
+        c0, c1 = fn(a0, a1, b0, b1,
+                    k0st, k1st, self._rescale_args(level),
+                    self.round_halves[level], self.pack(nxt, -1),
+                    plans, part_packs, self.pack(nxt, -2),
+                    tuple(self.PiRs[nxt]), self.enter_ord[nxt],
+                    self.mont_identity[nxt], tuple(self.PiWs[nxt]),
+                    self.bp_sp[nxt], plans_sh)
+        return [DataStruct((c0[:, i], c1[:, i]), False, False, False,
+                           types.origins["ct"], nxt, self.hash)
+                for i in range(B)]
+
     def square(self, ct: DataStruct, evk: DataStruct, relin=True) -> DataStruct:
         x = self.rescale(ct)
         level = x.level

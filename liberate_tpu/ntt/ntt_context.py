@@ -292,7 +292,7 @@ class NttContext:
         (whose channel slices cross shard boundaries)."""
         from .. import config
 
-        if not config.use_mxu_ntt:
+        if not config.mxu_enabled():
             return None
         if self.coef_axis is not None:
             return None   # 2-D meshes: the coef plans own the transform

@@ -246,3 +246,22 @@ def test_tiled_extend_bit_exact():
     flat, tiled = run(False), run(True)
     for a, b in zip(flat.data, tiled.data):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mult_batched_bit_exact(eng, keys):
+    """mult_batched (vmapped fused program) returns EXACTLY the arrays
+    the per-pair fused mult produces — vmap only adds a batch grid
+    axis."""
+    sk, pk, evk = keys
+    msgs = [eng.example(amin=-1, amax=1) for _ in range(4)]
+    cts = [eng.encorypt(m, pk) for m in msgs]
+    outs = eng.mult_batched([cts[0], cts[2]], [cts[1], cts[3]], evk)
+    assert len(outs) == 2
+    for i, (a, b) in enumerate(((0, 1), (2, 3))):
+        single = eng.mult(cts[a], cts[b], evk)
+        assert outs[i].level == single.level
+        for got, want in zip(outs[i].data, single.data):
+            np.testing.assert_array_equal(np.asarray(got),
+                                          np.asarray(want))
+        assert err(eng, eng.decrode(outs[i], sk),
+                   msgs[a] * msgs[b]) < MULT_TOL

@@ -150,7 +150,7 @@ def test_engine_mxu_backend_end_to_end():
         assert abs(eng.absmax_error(eng.decrode(rot, sk),
                                     np.roll(m1, 3))) < 1e-5
     finally:
-        config.use_mxu_ntt = False
+        config.use_mxu_ntt = None
 
 
 @pytest.mark.slow
@@ -178,7 +178,7 @@ def test_engine_mxu_backend_on_mesh():
         prod = eng.mult(ct, ct, evk)
         assert abs(eng.absmax_error(eng.decrode(prod, sk), m * m)) < 1e-5
     finally:
-        config.use_mxu_ntt = False
+        config.use_mxu_ntt = None
 
 
 def test_30bit_word_mode_roundtrip():

@@ -201,7 +201,7 @@ def _mxu_engine_mult(use_pallas_kernels):
         qs = eng.ctx.q[out.level:eng.num_ordinary]
         return out, err, qs
     finally:
-        config.use_mxu_ntt = False
+        config.use_mxu_ntt = None
         config.use_mxu_pallas = True
         config.use_pallas = None
         config.pallas_interpret = False
@@ -266,7 +266,7 @@ def test_group_dispatch_multi_consumer_jit():
                 % qs[:, None]
             np.testing.assert_array_equal(gv, wv)
     finally:
-        config.use_mxu_ntt = False
+        config.use_mxu_ntt = None
         config.use_mxu_pallas = True
         config.use_pallas = None
         config.pallas_interpret = False
