@@ -125,6 +125,10 @@ def main():
 _HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v4": 1228.0, "TPU v5p": 2765.0,
              "TPU v6 lite": 1640.0}
 
+# Peak int8 MXU throughput per chip (TOPS).
+_MXU_TOPS = {"TPU v5 lite": 394.7, "TPU v4": 275.0, "TPU v5p": 918.0,
+             "TPU v6 lite": 918.0}
+
 
 def _ntt_roofline(eng, iters):
     """Measure the fused forward NTT's achieved HBM bandwidth."""
@@ -176,43 +180,38 @@ def _ntt_roofline(eng, iters):
     if peak:
         out["ntt_roofline_pct"] = round(100.0 * gbps / peak, 1)
 
-    # Compute roofline (the binding resource): the transform performs
-    # C * N/2 * logN butterfly twiddle multiplies; measure the pure
-    # Shoup-multiply rate at the same [C, N] shape as the achievable
-    # ceiling and report the achieved fraction. 100% would mean the
-    # transform costs exactly its multiplies (interleaves/layout free).
+    # Compute roofline of the BINDING resource (BASELINE.md
+    # "speed-of-light" target). With the MXU matmul backend (the TPU
+    # default since round 5) the transform's arithmetic rides the
+    # systolic array: report achieved int8 MAC/s against the chip's MXU
+    # peak. On the VPU butterfly backend, report achieved modular
+    # multiplies/s instead (the transform is twiddle-multiply-bound).
     logN = N.bit_length() - 1
-    from liberate_tpu.ntt import u64 as _u
-    ws = jnp.asarray(np.stack([np.asarray(pack.q2[0]),
-                               np.asarray(pack.q2[1])]))  # any [2, C] consts
-    wp = ws  # magnitude-representative constants; rate is value-independent
-    q = (pack.q2[0][:, None] >> 1) | (pack.q2[1][:, None] << 31), \
-        (pack.q2[1][:, None] >> 1)
-
-    CH = 15  # multiplies per jitted chain application
-
-    @jax.jit
-    def mul_chain(x):
-        v = (x[0], x[1])
-        for _ in range(CH):
-            v = _u.shoup_mul(v, (ws[0][:, None], ws[1][:, None]),
-                             (wp[0][:, None], wp[1][:, None]), q)
-        return jnp.stack(v)
-
-    def chain2(K):
-        out = a
-        for _ in range(K):
-            out = mul_chain(out)
-        return out
-
-    benchtime.sync(chain2(1))
-    t_chain = benchtime.diff_time(chain2, max(1, iters // 5), iters,
-                                  trials=3)
-    ceiling_mult_s = C * N * CH / t_chain
-    achieved_mult_s = C * (N // 2) * logN / best
-    out["ntt_modmul_gps"] = round(achieved_mult_s / 1e9, 2)
-    out["ntt_compute_pct"] = round(100.0 * achieved_mult_s
-                                   / ceiling_mult_s, 1)
+    if pack.mxu is not None:
+        # MACs per channel: stage1 [dA*S, dB*S]@[dB*S, R] +
+        # stage2 [dA*R, dB*R]@[dB*R, S] = dA*dB*N*(S+R); width groups
+        # have per-group digit counts.
+        ref = pack.mxu
+        total_macs = 0
+        groups = ref.groups or ((0, C, ref.plan),)
+        start = ref.idx[0] if ref.idx else 0
+        for gs, ge, gplan in groups:
+            lo, hi = max(gs, start), min(ge, start + C)
+            if hi <= lo:
+                continue
+            S, R = gplan.S, gplan.R
+            total_macs += (hi - lo) * gplan.dA * gplan.dB * N * (S + R)
+        peak_tops = _MXU_TOPS.get(dev_kind)
+        out["ntt_mxu_tops"] = round(total_macs / best / 1e12, 1)
+        if peak_tops:
+            out["ntt_mxu_util_pct"] = round(
+                100.0 * (total_macs / best / 1e12) / peak_tops, 1)
+    else:
+        # N/2*logN butterfly twiddle multiplies per channel; ~2e12
+        # emulated 62-bit modmul/s is the measured v5e VPU ceiling for a
+        # pure Shoup-multiply chain (benchmarks/ntt_probe6.py).
+        achieved = C * (N // 2) * logN / best
+        out["ntt_modmul_gps"] = round(achieved / 1e9, 2)
     return out
 
 
