@@ -161,13 +161,23 @@ use_tiled_moddown = True
 
 
 def mxu_enabled() -> bool:
-    """Resolve the use_mxu_ntt tristate (None = auto: TPU only)."""
+    """Resolve the use_mxu_ntt tristate (None = auto: TPU only).
+
+    Auto keys on the REAL backend, not pallas_enabled(): interpret-mode
+    tests force use_pallas=True on CPU to exercise kernels, and that
+    must not silently flip the engine into the natural-order MXU domain
+    (which would break every bit-reversed-domain oracle comparison)."""
     if use_mxu_ntt is not None:
         return use_mxu_ntt
     env = os.environ.get("LIBERATE_TPU_MXU")
     if env is not None:
         return env not in ("0", "false", "off")
-    return pallas_enabled()
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def pallas_enabled() -> bool:

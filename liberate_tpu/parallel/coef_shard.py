@@ -353,6 +353,12 @@ def ntt_coef_sharded(a, plan: CoefShardPlan, pre_enter=False):
                       P(None, None, rns, axis),
                       P(None, axis, rns, None, None),
                       P(None, axis, rns, None)),
+            # check_vma=False: the varying-manual-axes checker rejects
+            # these bodies because the ppermute stages inside _cross_fwd/
+            # _cross_inv mix per-shard ("varying") data with replicated
+            # constant planes in ways the static analysis cannot prove
+            # consistent; correctness is pinned instead by the bit-exact
+            # sharded-vs-single-chip tests (tests/test_coef_shard.py).
             out_specs=dspec, check_vma=False,
         )(a, cpack, plan.pl_consts, plan.cross_f,
           plan.pl_row_tw, plan.pl_lane_tw)
@@ -413,6 +419,12 @@ def intt_coef_sharded(a, plan: CoefShardPlan, post_exit=False,
                       P(None, None, rns, axis),
                       P(None, axis, rns, None, None),
                       P(None, axis, rns, None)),
+            # check_vma=False: the varying-manual-axes checker rejects
+            # these bodies because the ppermute stages inside _cross_fwd/
+            # _cross_inv mix per-shard ("varying") data with replicated
+            # constant planes in ways the static analysis cannot prove
+            # consistent; correctness is pinned instead by the bit-exact
+            # sharded-vs-single-chip tests (tests/test_coef_shard.py).
             out_specs=dspec, check_vma=False,
         )(a, cpack, plan.pl_consts, plan.cross_i,
           plan.pl_row_itw, plan.pl_lane_itw)
