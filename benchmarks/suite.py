@@ -158,7 +158,10 @@ def main():
         emit("gold_mult_relin_rescale",
              _bench_mult_verified(eng_g, [g1, g2], [mg1, mg2], evk_g, sk_g,
                                   iters))
-        if os.environ.get("LIBERATE_TPU_BENCH_PLATINUM"):
+        # Platinum is opt-OUT (VERDICT r4 #7: all four presets are
+        # first-class in the bench record). First compile ~10 min,
+        # persistently cached after.
+        if not os.environ.get("LIBERATE_TPU_BENCH_NO_PLATINUM"):
             eng_p = liberate_tpu.CkksEngine(seed=1, logN=17, scale_bits=40,
                                             num_special_primes=6,
                                             is_secured=False)

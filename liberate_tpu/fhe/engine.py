@@ -1280,7 +1280,7 @@ class CkksEngine:
             return u64.pack(ext[0].reshape(W_sp, -1),
                             ext[1].reshape(W_sp, -1))
 
-        def extend_shoup(state, le_sh, pack_sp, R, bp_off):
+        def extend_shoup(state, le_sh, pack_sp, R, bp_off, flat=True):
             """Basis extension in the plain domain
             (config.use_shoup_extend): emits unsigned [0, 2q), so the
             switch NTT kernels skip the canon + identity-multiply
@@ -1319,6 +1319,15 @@ class CkksEngine:
                 e = u64.shoup_mul(u, col(w), col(wp), q)
                 e = csub(u64.add(e, col(cadj)))
                 acc = csub(u64.add(acc, e))
+            if not flat:
+                # Keep the [W_sp, N/128, 128] tiled view: the fused MXU
+                # switch consumes exactly this element order (its [S, R]
+                # block view), and flattening to [W_sp, N] between
+                # producer and kernel makes XLA emit the whole extension
+                # in degenerate T(1,128) layout + a fix-up copy (round-5
+                # profile: ~1.9 ms/mult of 7.4 across the 7 extension
+                # fusions).
+                return u64.pack(acc[0], acc[1])
             return u64.pack(acc[0].reshape(W_sp, -1),
                             acc[1].reshape(W_sp, -1))
 
@@ -1385,13 +1394,17 @@ class CkksEngine:
             # for its fused switch (digits read the u64 bits).
             shoup_ext = (config.use_shoup_extend
                          and pack_sp.coef is None)
+            mxu_fused = (shoup_ext and pack_sp.mxu is not None
+                         and single_chip and config.use_mxu_pallas
+                         and config.pallas_enabled())
             exts = []
             for idx, (start, alpha) in enumerate(parts_meta):
                 if shoup_ext:
                     state, R = pre_extend_tiled(a, start, alpha,
                                                 part_packs[idx], plans[idx])
                     exts.append(extend_shoup(state, plans_sh[idx],
-                                             pack_sp, R, bp_sp))
+                                             pack_sp, R, bp_sp,
+                                             flat=not mxu_fused))
                 elif config.use_tiled_extend:
                     state, R = pre_extend_tiled(a, start, alpha,
                                                 part_packs[idx], plans[idx])
@@ -1400,11 +1413,12 @@ class CkksEngine:
                     state = pre_extend(a, start, alpha, part_packs[idx],
                                        plans[idx])
                     exts.append(extend(state, plans[idx], pack_sp))
-            ext = jnp.stack(exts, axis=1)                  # [2, P, C_sp, N]
+            # [2, P, C_sp, N] — or [2, P, C_sp, N/128, 128] tiled on the
+            # fused-MXU branch (see extend_shoup flat=False).
+            ext = jnp.stack(exts, axis=1)
 
             plan = pack_sp.pallas
-            if (shoup_ext and pack_sp.mxu is not None and single_chip
-                    and config.use_mxu_pallas and config.pallas_enabled()):
+            if mxu_fused:
                 # Fused MXU switch kernel: transform + ksk multiplies +
                 # part accumulation VMEM-resident (mxu_pallas), one
                 # kernel per channel-width group.

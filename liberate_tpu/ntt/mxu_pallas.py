@@ -303,7 +303,9 @@ def dispatch(a, mxu_ref, inverse=False, interpret=False, **kw):
 def dispatch_ksk_accum(ext, k0_full, k1_full, mxu_ref, level, part_off,
                        interpret=False):
     """Fused switch through an MxuRef (the ref must be the level's
-    with-special pack: global channels [level, C0))."""
+    with-special pack: global channels [level, C0)). ``ext`` may be
+    [2, P, C, N] flat or [2, P, C, N/128, 128] tiled (channel slicing
+    is on axis 2 either way)."""
     C = ext.shape[2]
     if mxu_ref.groups:
         outs0, outs1 = [], []
@@ -312,7 +314,7 @@ def dispatch_ksk_accum(ext, k0_full, k1_full, mxu_ref, level, part_off,
             if hi <= lo:
                 continue
             o0, o1 = ntt_ksk_accum(
-                ext[..., lo - level:hi - level, :], k0_full, k1_full,
+                ext[:, :, lo - level:hi - level], k0_full, k1_full,
                 gplan, lo, part_off, interpret=interpret, ch_off=lo - gs)
             outs0.append(o0)
             outs1.append(o1)
@@ -424,18 +426,26 @@ def _mulacc_kernel(cref, x_ref, m1_ref, r1_ref, tw_ref, m2_ref, r2_ref,
 
 def ntt_ksk_accum(ext, k0_full, k1_full, plan, level, part_off,
                   interpret=False, ch_off=0, shoup_rec=True):
-    """Fused MXU key-switch core. ext: [2, P, C, N] PLAIN unsigned
+    """Fused MXU key-switch core. ext: [2, P, C, N] flat — or
+    [2, P, C, N/128, 128] tiled, the producer-layout-preserving form
+    (when plan.R == 128 the tiled view IS the kernel's [S, R] block
+    view, so no reshape and no XLA layout fix-up copy) — PLAIN unsigned
     [0, 2q) basis-extension outputs (config.use_shoup_extend).
     k0_full/k1_full: [2, P_full, C0, N] pre-stacked natural-order-domain
     Montgomery ksk halves; level/part_off select the active slice via
     block indexing. Returns (d0, d1): [2, C, N] plain-domain NTT-domain
     accumulators in [0, 2q) (the ksk's R factor cancels in the montmul).
     """
-    _, P, C, N = ext.shape
     S, R = plan.S, plan.R
+    if ext.ndim == 5:
+        _, P, C, T, L = ext.shape
+        N = T * L
+        xv = ext if (T, L) == (S, R) else ext.reshape(2, P, C, S, R)
+    else:
+        _, P, C, N = ext.shape
+        xv = ext.reshape(2, P, C, S, R)
     t1, r1, tw, t2, r2 = _flat_tables(plan, fwd=True)
     consts = _consts_from_plan(plan)
-    xv = ext.reshape(2, P, C, S, R)
     k0v = k0_full.reshape(2, k0_full.shape[1], k0_full.shape[2], R, S)
     k1v = k1_full.reshape(2, k1_full.shape[1], k1_full.shape[2], R, S)
     kern = functools.partial(_mulacc_kernel, dA=plan.dA, dB=plan.dB,
