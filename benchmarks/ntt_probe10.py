@@ -39,6 +39,11 @@ def main():
     sk = eng.create_secret_key()
     evk = eng.create_evk(sk)
     k0st, k1st = eng._ksk_stacked(evk)
+    if k0st.ndim == 5:      # engine pre-tiles for the fused switch
+        k0f = k0st.reshape(k0st.shape[:3] + (-1,))
+        k1f = k1st.reshape(k1st.shape[:3] + (-1,))
+    else:
+        k0f, k1f = k0st, k1st
 
     pack_sp = eng.pack(level, -2)
     parts = nc.parts(level)
@@ -56,8 +61,8 @@ def main():
 
     # XLA reference: the engine's composed else-branch.
     x = mxu_ntt.ntt(ext, pack_sp.mxu.resolve())
-    k0 = ops.fit_channels(k0st[:, part_off:, level:, :], W_sp)
-    k1 = ops.fit_channels(k1st[:, part_off:, level:, :], W_sp)
+    k0 = ops.fit_channels(k0f[:, part_off:, level:, :], W_sp)
+    k1 = ops.fit_channels(k1f[:, part_off:, level:, :], W_sp)
     t0 = ops.mont_mult(x, k0, pack_sp)
     t1 = ops.mont_mult(x, k1, pack_sp)
     w0, w1 = t0[:, 0], t1[:, 0]

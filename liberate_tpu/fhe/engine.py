@@ -276,11 +276,22 @@ def _mod_down_shoup(d, pack_sp, pack_ord, PiWs, bp, n_sp, C_sp,
     trailing canonical reduce makes the output bit-identical
     (tests/test_shoup_chains.py) — at ~half the VPU ops per element.
 
-    d: [2, W_sp, N] plain [0, q). Returns [2, W_ord, N] plain [0, q).
+    d: [2, W_sp, N] plain [0, q) — or [2, W_sp, T, L] already tiled
+    (the fold_inverse MXU switch output; element-order-identical view,
+    kept 4-D so no layout round trip). Returns [2, W_ord, N] plain
+    [0, q).
     """
-    N = d.shape[2]
-    R = N // 128
-    v = (d[0].reshape(W_sp, R, 128), d[1].reshape(W_sp, R, 128))
+    if d.ndim == 4:
+        N = d.shape[2] * d.shape[3]
+        R = N // 128
+        if d.shape[2:] == (R, 128):
+            v = (d[0], d[1])
+        else:
+            v = (d[0].reshape(W_sp, R, 128), d[1].reshape(W_sp, R, 128))
+    else:
+        N = d.shape[2]
+        R = N // 128
+        v = (d[0].reshape(W_sp, R, 128), d[1].reshape(W_sp, R, 128))
 
     def col(s):
         return (s[0][:, None, None], s[1][:, None, None])
@@ -1126,6 +1137,14 @@ class CkksEngine:
         return self._shard_ds(DataStruct(ksk, True, True, True,
                                          types.origins["ksk"], 0, self.hash))
 
+    def _mxu_fused_switch(self) -> bool:
+        """Whether _switcher_fn will take the fused MXU switch branch
+        (must mirror its trace-time ``mxu_fused`` condition exactly:
+        the ksk stack shape depends on it)."""
+        return (self.mesh is None and config.use_shoup_extend
+                and config.use_mxu_pallas and config.pallas_enabled()
+                and self.pack(0, -2).mxu is not None)
+
     def _ksk_stacked(self, ksk: DataStruct):
         """Pre-stacked full-width key halves [2, P_full, C0_sp, N] x 2.
 
@@ -1142,6 +1161,16 @@ class CkksEngine:
         if self.mesh is not None:
             k0 = jax.device_put(k0, self._rns_sharding(k0.ndim))
             k1 = jax.device_put(k1, self._rns_sharding(k1.ndim))
+        elif self._mxu_fused_switch():
+            # Materialize ONCE in the fused MXU switch kernel's 5-D
+            # [2, P, C0, R, S] block view: the in-trace reshape from the
+            # flat stack re-laid the ksk out on EVERY switch
+            # (round-5 profile: 2 x ~0.58 ms reshape + copies per 6
+            # mults). The kernel consumes this form directly.
+            S = 1 << ((self.ctx.logN + 1) // 2)
+            R = self.ctx.N // S
+            k0 = jnp.asarray(k0.reshape(2, k0.shape[1], k0.shape[2], R, S))
+            k1 = jnp.asarray(k1.reshape(2, k1.shape[1], k1.shape[2], R, S))
         self._ksk_stacked_cache[ksk] = (k0, k1)
         if len(self._ksk_stacked_cache) > 16:
             self._ksk_stacked_cache.popitem(last=False)
@@ -1420,13 +1449,21 @@ class CkksEngine:
             plan = pack_sp.pallas
             if mxu_fused:
                 # Fused MXU switch kernel: transform + ksk multiplies +
-                # part accumulation VMEM-resident (mxu_pallas), one
-                # kernel per channel-width group.
+                # part accumulation + the post-accumulation INVERSE
+                # transform, all VMEM-resident (mxu_pallas), one kernel
+                # per channel-width group. Outputs are [2, C, S, R]
+                # tiled plain coefficient-domain [0, q) — fed straight
+                # into the tiled Shoup mod-down with no intt_reduce pair
+                # and no layout round trip.
                 from ..ntt import mxu_pallas
 
                 d0, d1 = mxu_pallas.dispatch_ksk_accum(
                     ext, k0st, k1st, pack_sp.mxu, lvl, part_off,
-                    interpret=config.pallas_interpret)
+                    interpret=config.pallas_interpret, fold_inverse=True)
+                if not config.use_shoup_moddown:
+                    # the Montgomery mod-down takes flat arrays
+                    d0 = d0.reshape(2, d0.shape[1], -1)
+                    d1 = d1.reshape(2, d1.shape[1], -1)
             elif (config.use_fused_switch and plan is not None
                     and pallas_ntt.supports_fused_accum(plan)):
                 # Fused kernel: [ident-canon +] NTT + both ksk multiplies
@@ -1456,7 +1493,9 @@ class CkksEngine:
                 for p in range(1, len(parts_meta)):
                     d0 = ops.mont_add(d0, t0[:, p], pack_sp)
                     d1 = ops.mont_add(d1, t1[:, p], pack_sp)
-            if shoup_ext:
+            if mxu_fused:
+                pass          # inverse + reduce folded into the kernel
+            elif shoup_ext:
                 d0 = ops.intt_reduce(d0, pack_sp)
                 d1 = ops.intt_reduce(d1, pack_sp)
             else:

@@ -301,12 +301,14 @@ def dispatch(a, mxu_ref, inverse=False, interpret=False, **kw):
 
 
 def dispatch_ksk_accum(ext, k0_full, k1_full, mxu_ref, level, part_off,
-                       interpret=False):
+                       interpret=False, fold_inverse=False):
     """Fused switch through an MxuRef (the ref must be the level's
     with-special pack: global channels [level, C0)). ``ext`` may be
     [2, P, C, N] flat or [2, P, C, N/128, 128] tiled (channel slicing
-    is on axis 2 either way)."""
+    is on axis 2 either way). fold_inverse: see ntt_ksk_accum — outputs
+    become [2, C, S, R] tiled coefficient-domain values."""
     C = ext.shape[2]
+    cat_axis = 1 if fold_inverse else -2
     if mxu_ref.groups:
         outs0, outs1 = [], []
         for gs, ge, gplan in mxu_ref.groups:
@@ -315,16 +317,20 @@ def dispatch_ksk_accum(ext, k0_full, k1_full, mxu_ref, level, part_off,
                 continue
             o0, o1 = ntt_ksk_accum(
                 ext[:, :, lo - level:hi - level], k0_full, k1_full,
-                gplan, lo, part_off, interpret=interpret, ch_off=lo - gs)
+                gplan, lo, part_off, interpret=interpret, ch_off=lo - gs,
+                fold_inverse=fold_inverse)
             outs0.append(o0)
             outs1.append(o1)
         if len(outs0) == 1:
             return outs0[0], outs1[0]
-        return (jnp.concatenate(outs0, axis=-2),
-                jnp.concatenate(outs1, axis=-2))
+        # The barrier is load-bearing (see _call / dispatch).
+        return jax.lax.optimization_barrier(
+            (jnp.concatenate(outs0, axis=cat_axis),
+             jnp.concatenate(outs1, axis=cat_axis)))
     plan, off, _ = resolve_ref(mxu_ref)
     return ntt_ksk_accum(ext, k0_full, k1_full, plan, level, part_off,
-                         interpret=interpret, ch_off=off)
+                         interpret=interpret, ch_off=off,
+                         fold_inverse=fold_inverse)
 
 
 def resolve_ref(mxu_ref):
@@ -424,8 +430,75 @@ def _mulacc_kernel(cref, x_ref, m1_ref, r1_ref, tw_ref, m2_ref, r2_ref,
         o1_ref[1, 0] = a1[1]
 
 
+def _mulacc_inv_kernel(cref, x_ref, m1_ref, r1_ref, tw_ref, m2_ref,
+                       r2_ref, i1_ref, ir1_ref, itw_ref, i2_ref, ir2_ref,
+                       k0_ref, k1_ref, o0_ref, o1_ref, a0_ref, a1_ref, *,
+                       dA, dB, split, ch_off, P, shoup_rec=True):
+    """_mulacc_kernel with the post-accumulation INVERSE transform
+    folded in: the NTT-domain part accumulators live in VMEM scratch
+    across the part axis, and the LAST part iteration runs the inverse
+    (N^-1-folded) transform + plain reduce on them in the same cell —
+    the engine's post-switch ops.intt_reduce pair disappears, along
+    with its HBM round trip and its own streaming of the inverse
+    tables. Outputs are PLAIN coefficient-domain [0, q) in the [S, R]
+    tiled view."""
+    c = _read_consts(cref, ch_off)
+    p = pl.program_id(1)
+    lo = x_ref[0, 0, 0]                       # [S, R]
+    hi = x_ref[1, 0, 0]
+    d = _digits_k(lo, hi, dB)
+    E = _matmul_s8(m1_ref[0], d) + r1_ref[0]
+    b = _recombine_k(E, c, dA, split, shoup_rec)
+    t = (tw_ref[0, 0], tw_ref[1, 0])
+    b = u64.montmul(b, t, c["ql"], c["qh"], c["kl"], c["kh"])
+    d2 = _digits_k(b[0].T, b[1].T, dB)
+    E2 = _matmul_s8(m2_ref[0], d2) + r2_ref[0]
+    x = _recombine_k(E2, c, dA, split, shoup_rec)        # [R(k1), S(k2)]
+
+    k0 = (k0_ref[0, 0, 0], k0_ref[1, 0, 0])
+    k1 = (k1_ref[0, 0, 0], k1_ref[1, 0, 0])
+    p0 = u64.montmul(x, k0, c["ql"], c["qh"], c["kl"], c["kh"])
+    p1 = u64.montmul(x, k1, c["ql"], c["qh"], c["kl"], c["kh"])
+
+    def csub(v):
+        over = ~u64.lt_unsigned(v, c["q2"])
+        return u64.select(over, u64.sub(v, c["q2"]), v)
+
+    @pl.when(p == 0)
+    def _init():
+        a0_ref[0], a0_ref[1] = p0[0], p0[1]
+        a1_ref[0], a1_ref[1] = p1[0], p1[1]
+
+    @pl.when(p != 0)
+    def _accum():
+        s0 = csub(u64.add((a0_ref[0], a0_ref[1]), p0))
+        a0_ref[0], a0_ref[1] = s0[0], s0[1]
+        s1 = csub(u64.add((a1_ref[0], a1_ref[1]), p1))
+        a1_ref[0], a1_ref[1] = s1[0], s1[1]
+
+    @pl.when(p == P - 1)
+    def _fold_inverse():
+        for acc_ref, o_ref in ((a0_ref, o0_ref), (a1_ref, o1_ref)):
+            ilo, ihi = acc_ref[0], acc_ref[1]          # [R(k1), S(k2)]
+            di = _digits_k(ilo, ihi, dB)
+            Ei = _matmul_s8(i1_ref[0], di) + ir1_ref[0]
+            y = _recombine_k(Ei, c, dA, split, shoup_rec)   # [R(j), S]
+            y = (y[0].T, y[1].T)                       # [S(k2), R(j)]
+            ti = (itw_ref[0, 0], itw_ref[1, 0])
+            y = u64.montmul(y, ti, c["ql"], c["qh"], c["kl"], c["kh"])
+            di2 = _digits_k(y[0], y[1], dB)
+            Ei2 = _matmul_s8(i2_ref[0], di2) + ir2_ref[0]
+            r = _recombine_k(Ei2, c, dA, split, shoup_rec)  # [S(s), R(j)]
+            q = u64.shr(c["q2"], 1)
+            lt = u64.lt_unsigned(r, q)
+            r = u64.select(lt, r, u64.sub(r, q))
+            o_ref[0, 0] = r[0]
+            o_ref[1, 0] = r[1]
+
+
 def ntt_ksk_accum(ext, k0_full, k1_full, plan, level, part_off,
-                  interpret=False, ch_off=0, shoup_rec=True):
+                  interpret=False, ch_off=0, shoup_rec=True,
+                  fold_inverse=False):
     """Fused MXU key-switch core. ext: [2, P, C, N] flat — or
     [2, P, C, N/128, 128] tiled, the producer-layout-preserving form
     (when plan.R == 128 the tiled view IS the kernel's [S, R] block
@@ -435,6 +508,12 @@ def ntt_ksk_accum(ext, k0_full, k1_full, plan, level, part_off,
     Montgomery ksk halves; level/part_off select the active slice via
     block indexing. Returns (d0, d1): [2, C, N] plain-domain NTT-domain
     accumulators in [0, 2q) (the ksk's R factor cancels in the montmul).
+
+    fold_inverse=True additionally runs the inverse (N^-1-folded)
+    transform + plain reduce on the accumulators inside the kernel
+    (_mulacc_inv_kernel) and returns them as [2, C, S, R] TILED
+    coefficient-domain values in [0, q) — the ops.intt_reduce pair after
+    the switch disappears.
     """
     S, R = plan.S, plan.R
     if ext.ndim == 5:
@@ -446,8 +525,17 @@ def ntt_ksk_accum(ext, k0_full, k1_full, plan, level, part_off,
         xv = ext.reshape(2, P, C, S, R)
     t1, r1, tw, t2, r2 = _flat_tables(plan, fwd=True)
     consts = _consts_from_plan(plan)
-    k0v = k0_full.reshape(2, k0_full.shape[1], k0_full.shape[2], R, S)
-    k1v = k1_full.reshape(2, k1_full.shape[1], k1_full.shape[2], R, S)
+    if k0_full.ndim == 5:
+        # Pre-tiled [2, P_full, C0, R, S] ksk stacks (engine
+        # _ksk_stacked): no per-switch reshape/re-layout.
+        k0v, k1v = k0_full, k1_full
+    else:
+        k0v = k0_full.reshape(2, k0_full.shape[1], k0_full.shape[2], R, S)
+        k1v = k1_full.reshape(2, k1_full.shape[1], k1_full.shape[2], R, S)
+    if fold_inverse:
+        return _ksk_accum_inv_call(
+            xv, consts, t1, r1, tw, t2, r2, k0v, k1v, plan, level,
+            part_off, C, P, S, R, ch_off, shoup_rec, interpret)
     kern = functools.partial(_mulacc_kernel, dA=plan.dA, dB=plan.dB,
                              split=plan.split, ch_off=ch_off,
                              shoup_rec=shoup_rec)
@@ -492,3 +580,59 @@ def ntt_ksk_accum(ext, k0_full, k1_full, plan, level, part_off,
     # Same multiple-consumer fusion hazard as _call (see there).
     o0, o1 = jax.lax.optimization_barrier((o0, o1))
     return o0.reshape(2, C, N), o1.reshape(2, C, N)
+
+
+def _ksk_accum_inv_call(xv, consts, t1, r1, tw, t2, r2, k0v, k1v, plan,
+                        level, part_off, C, P, S, R, ch_off, shoup_rec,
+                        interpret):
+    """pallas_call wrapper for _mulacc_inv_kernel (fold_inverse path)."""
+    i1f, ir1, itw, i2f, ir2 = _flat_tables(plan, fwd=False)
+    kern = functools.partial(_mulacc_inv_kernel, dA=plan.dA, dB=plan.dB,
+                             split=plan.split, ch_off=ch_off, P=P,
+                             shoup_rec=shoup_rec)
+    out_shape = jax.ShapeDtypeStruct((2, C, S, R), xv.dtype)
+
+    def tblspec(t):
+        return pl.BlockSpec((1,) + t.shape[1:],
+                            lambda ch, p: (ch + ch_off, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    o0, o1 = pl.pallas_call(
+        kern,
+        grid=(C, P),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, 1, 1, S, R), lambda ch, p: (0, p, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tblspec(t1),
+            tblspec(r1),
+            pl.BlockSpec((2, 1, S, R), lambda ch, p: (0, ch + ch_off, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tblspec(t2),
+            tblspec(r2),
+            tblspec(i1f),
+            tblspec(ir1),
+            pl.BlockSpec((2, 1, S, R), lambda ch, p: (0, ch + ch_off, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tblspec(i2f),
+            tblspec(ir2),
+            pl.BlockSpec((2, 1, 1, R, S),
+                         lambda ch, p: (0, p + part_off, ch + level, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, 1, R, S),
+                         lambda ch, p: (0, p + part_off, ch + level, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, 1, S, R), lambda ch, p: (0, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, S, R), lambda ch, p: (0, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[out_shape, out_shape],
+        scratch_shapes=[pltpu.VMEM((2, R, S), jnp.uint32),
+                        pltpu.VMEM((2, R, S), jnp.uint32)],
+        interpret=interpret,
+    )(consts, xv, t1, r1, tw, t2, r2, i1f, ir1, itw, i2f, ir2, k0v, k1v)
+    # Same multiple-consumer fusion hazard as _call (see there).
+    return jax.lax.optimization_barrier((o0, o1))
