@@ -235,15 +235,23 @@ def _rescale_core_shoup(d, rs_sh, bp, round_half, pack_next):
     ~25% fewer VPU ops per element."""
     w, wp = rs_sh
     W = pack_next.q2.shape[1]
-    N = d.shape[2]
+    N = d.shape[-1]
     R = N // 128
-    v = (d[0].reshape(-1, R, 128), d[1].reshape(-1, R, 128))
-    s = (v[0][0:1], v[1][0:1])
-    body = (v[0][1:], v[1][1:])
-    C = body[0].shape[0]
+    # Leading batch dims supported ([2, B, C, N]): the fused mult stacks
+    # its four input rescales into ONE call (one fusion, no per-array
+    # dispatch gaps). Channel axis stays at -3 of the tiled view so the
+    # per-channel constants broadcast right-aligned.
+    lead = d.shape[1:-2]
+    C_in = d.shape[-2]
+    v = (d[0].reshape(lead + (C_in, R, 128)),
+         d[1].reshape(lead + (C_in, R, 128)))
+    s = (v[0][..., 0:1, :, :], v[1][..., 0:1, :, :])
+    body = (v[0][..., 1:, :, :], v[1][..., 1:, :, :])
+    C = C_in - 1
     if W > C:       # fit_channels: repeat the last real channel
         pad = lambda x: jnp.concatenate(
-            [x, jnp.broadcast_to(x[-1:], (W - C, R, 128))], axis=0)
+            [x, jnp.broadcast_to(x[..., -1:, :, :],
+                                 lead + (W - C, R, 128))], axis=-3)
         body = (pad(body[0]), pad(body[1]))
 
     def col(t):
@@ -263,7 +271,8 @@ def _rescale_core_shoup(d, rs_sh, bp, round_half, pack_next):
         out = u64.add(out, (rounder, jnp.zeros_like(rounder)))
     lt = u64.lt_signed(out, q)
     out = u64.select(lt, out, u64.sub(out, q))
-    return u64.pack(out[0].reshape(W, N), out[1].reshape(W, N))
+    return u64.pack(out[0].reshape(lead + (W, N)),
+                    out[1].reshape(lead + (W, N)))
 
 
 def _mod_down_shoup(d, pack_sp, pack_ord, PiWs, bp, n_sp, C_sp,
@@ -1427,13 +1436,19 @@ class CkksEngine:
                          and single_chip and config.use_mxu_pallas
                          and config.pallas_enabled())
             exts = []
+            states = []
             for idx, (start, alpha) in enumerate(parts_meta):
-                if shoup_ext:
+                if mxu_fused:
+                    # Raw divided-difference state only: the extension
+                    # itself runs inside the switch kernel.
+                    state, R = pre_extend_tiled(a, start, alpha,
+                                                part_packs[idx], plans[idx])
+                    states.append(state)
+                elif shoup_ext:
                     state, R = pre_extend_tiled(a, start, alpha,
                                                 part_packs[idx], plans[idx])
                     exts.append(extend_shoup(state, plans_sh[idx],
-                                             pack_sp, R, bp_sp,
-                                             flat=not mxu_fused))
+                                             pack_sp, R, bp_sp))
                 elif config.use_tiled_extend:
                     state, R = pre_extend_tiled(a, start, alpha,
                                                 part_packs[idx], plans[idx])
@@ -1442,24 +1457,56 @@ class CkksEngine:
                     state = pre_extend(a, start, alpha, part_packs[idx],
                                        plans[idx])
                     exts.append(extend(state, plans[idx], pack_sp))
-            # [2, P, C_sp, N] — or [2, P, C_sp, N/128, 128] tiled on the
-            # fused-MXU branch (see extend_shoup flat=False).
-            ext = jnp.stack(exts, axis=1)
+            if not mxu_fused:
+                ext = jnp.stack(exts, axis=1)      # [2, P, C_sp, N]
 
             plan = pack_sp.pallas
             if mxu_fused:
-                # Fused MXU switch kernel: transform + ksk multiplies +
+                # Fused MXU switch kernel with the EXTENSION folded in:
+                # Shoup basis extension + transform + ksk multiplies +
                 # part accumulation + the post-accumulation INVERSE
                 # transform, all VMEM-resident (mxu_pallas), one kernel
-                # per channel-width group. Outputs are [2, C, S, R]
-                # tiled plain coefficient-domain [0, q) — fed straight
-                # into the tiled Shoup mod-down with no intt_reduce pair
-                # and no layout round trip.
+                # per channel-width group. Inputs are the raw per-part
+                # state rows ([2, P, A, N/128, 128], shared across
+                # channels) plus tiny scalar tables; outputs are
+                # [2, C, S, R] tiled plain coefficient-domain [0, q) —
+                # fed straight into the tiled Shoup mod-down. No ext
+                # materialization in HBM, no intt_reduce pair, no
+                # layout round trips.
                 from ..ntt import mxu_pallas
 
-                d0, d1 = mxu_pallas.dispatch_ksk_accum(
-                    ext, k0st, k1st, pack_sp.mxu, lvl, part_off,
-                    interpret=config.pallas_interpret, fold_inverse=True)
+                A = max(alpha for _, alpha in parts_meta)
+                st_planes = []
+                for plane in (0, 1):
+                    rows = []
+                    for s in states:
+                        pad = [jnp.zeros_like(s[0][plane])] * (A - len(s))
+                        rows.append(jnp.concatenate(
+                            [t[plane] for t in s] + pad, axis=0))
+                    st_planes.append(jnp.stack(rows))
+                st = jnp.stack(st_planes)     # [2, P, A, N/128, 128]
+                nterms = max(A - 1, 1)
+                trows = []
+                for idx2 in range(len(parts_meta)):
+                    sh = plans_sh[idx2]
+                    irows = []
+                    for i in range(nterms):
+                        if i < len(sh):
+                            w, wp, cadj = sh[i]
+                            irows.append(jnp.stack([
+                                w[0, lvl:lvl + W_sp],
+                                w[1, lvl:lvl + W_sp],
+                                wp[0, lvl:lvl + W_sp],
+                                wp[1, lvl:lvl + W_sp],
+                                cadj[0, lvl:lvl + W_sp],
+                                cadj[1, lvl:lvl + W_sp]]))
+                        else:
+                            irows.append(jnp.zeros((6, W_sp), jnp.uint32))
+                    trows.append(jnp.stack(irows))
+                terms = jnp.stack(trows)      # [P, nterms, 6, W_sp]
+                d0, d1 = mxu_pallas.dispatch_ksk_from_state(
+                    st, terms, bp_sp[1], k0st, k1st, pack_sp.mxu, lvl,
+                    part_off, W_sp, interpret=config.pallas_interpret)
                 if not config.use_shoup_moddown:
                     # the Montgomery mod-down takes flat arrays
                     d0 = d0.reshape(2, d0.shape[1], -1)
@@ -1581,10 +1628,17 @@ class CkksEngine:
         def fn(a0, a1, b0, b1, k0st, k1st, rs, rh, pack_next, plans,
                part_packs, pack_sp, PiRs, enter_ord, ident,
                PiWs, bp_sp, plans_sh):
-            x0 = rescale_core(a0, rs, rh, pack_next)
-            x1 = rescale_core(a1, rs, rh, pack_next)
-            y0 = rescale_core(b0, rs, rh, pack_next)
-            y1 = rescale_core(b1, rs, rh, pack_next)
+            if config.use_shoup_rescale:
+                # One stacked rescale (the Shoup core is batch-generic):
+                # one fusion instead of four.
+                r4 = rescale_core(jnp.stack([a0, a1, b0, b1], axis=1),
+                                  rs, rh, pack_next)
+                x0, x1, y0, y1 = r4[:, 0], r4[:, 1], r4[:, 2], r4[:, 3]
+            else:
+                x0 = rescale_core(a0, rs, rh, pack_next)
+                x1 = rescale_core(a1, rs, rh, pack_next)
+                y0 = rescale_core(b0, rs, rh, pack_next)
+                y1 = rescale_core(b1, rs, rh, pack_next)
             d0, d1, d2 = _cc_mult_core(x0, x1, y0, y1, pack_next)
             d0, d1, d2 = _relin_pre(d0, d1, d2, pack_next)
             s0, s1 = switch(d2, k0st, k1st, plans, part_packs,

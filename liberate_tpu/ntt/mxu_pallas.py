@@ -430,22 +430,15 @@ def _mulacc_kernel(cref, x_ref, m1_ref, r1_ref, tw_ref, m2_ref, r2_ref,
         o1_ref[1, 0] = a1[1]
 
 
-def _mulacc_inv_kernel(cref, x_ref, m1_ref, r1_ref, tw_ref, m2_ref,
-                       r2_ref, i1_ref, ir1_ref, itw_ref, i2_ref, ir2_ref,
-                       k0_ref, k1_ref, o0_ref, o1_ref, a0_ref, a1_ref, *,
-                       dA, dB, split, ch_off, P, shoup_rec=True):
-    """_mulacc_kernel with the post-accumulation INVERSE transform
-    folded in: the NTT-domain part accumulators live in VMEM scratch
-    across the part axis, and the LAST part iteration runs the inverse
-    (N^-1-folded) transform + plain reduce on them in the same cell —
-    the engine's post-switch ops.intt_reduce pair disappears, along
-    with its HBM round trip and its own streaming of the inverse
-    tables. Outputs are PLAIN coefficient-domain [0, q) in the [S, R]
-    tiled view."""
-    c = _read_consts(cref, ch_off)
+def _mulacc_inv_tail(c, lo, hi, m1_ref, r1_ref, tw_ref, m2_ref, r2_ref,
+                     i1_ref, ir1_ref, itw_ref, i2_ref, ir2_ref,
+                     k0_ref, k1_ref, o0_ref, o1_ref, a0_ref, a1_ref,
+                     dA, dB, split, P, shoup_rec):
+    """Shared tail of the fold-inverse switch kernels: forward
+    transform of (lo, hi) [S, R], ksk multiplies, part-axis VMEM-scratch
+    accumulation, and — on the last part — the inverse transform +
+    plain reduce of the accumulators."""
     p = pl.program_id(1)
-    lo = x_ref[0, 0, 0]                       # [S, R]
-    hi = x_ref[1, 0, 0]
     d = _digits_k(lo, hi, dB)
     E = _matmul_s8(m1_ref[0], d) + r1_ref[0]
     b = _recombine_k(E, c, dA, split, shoup_rec)
@@ -494,6 +487,67 @@ def _mulacc_inv_kernel(cref, x_ref, m1_ref, r1_ref, tw_ref, m2_ref,
             r = u64.select(lt, r, u64.sub(r, q))
             o_ref[0, 0] = r[0]
             o_ref[1, 0] = r[1]
+
+
+def _mulacc_inv_kernel(cref, x_ref, m1_ref, r1_ref, tw_ref, m2_ref,
+                       r2_ref, i1_ref, ir1_ref, itw_ref, i2_ref, ir2_ref,
+                       k0_ref, k1_ref, o0_ref, o1_ref, a0_ref, a1_ref, *,
+                       dA, dB, split, ch_off, P, shoup_rec=True):
+    """_mulacc_kernel with the post-accumulation INVERSE transform
+    folded in (see _mulacc_inv_tail). Outputs are PLAIN
+    coefficient-domain [0, q) in the [S, R] tiled view."""
+    c = _read_consts(cref, ch_off)
+    _mulacc_inv_tail(c, x_ref[0, 0, 0], x_ref[1, 0, 0], m1_ref, r1_ref,
+                     tw_ref, m2_ref, r2_ref, i1_ref, ir1_ref, itw_ref,
+                     i2_ref, ir2_ref, k0_ref, k1_ref, o0_ref, o1_ref,
+                     a0_ref, a1_ref, dA, dB, split, P, shoup_rec)
+
+
+def _ext_mulacc_inv_kernel(cref, eref, oref, st_ref, m1_ref, r1_ref,
+                           tw_ref, m2_ref, r2_ref, i1_ref, ir1_ref,
+                           itw_ref, i2_ref, ir2_ref, k0_ref, k1_ref,
+                           o0_ref, o1_ref, a0_ref, a1_ref, *,
+                           dA, dB, split, ch_off, P, A, shoup_rec=True):
+    """The fold-inverse switch kernel with the Shoup BASIS EXTENSION
+    folded in as well: each (channel, part) cell reads the part's raw
+    divided-difference state rows ([2, A, S, R] — shared across all
+    channels) and computes the per-channel extension with scalar
+    constants (engine extend_shoup, op for op) before the forward
+    transform. The per-part XLA extension fusions, their HBM
+    materialization ([2, P, C, N]), and the channel-slice all disappear.
+
+    eref: SMEM u32 [P, A-1, 6, C_slice] — (w_lo, w_hi, wp_lo, wp_hi,
+    cadj_lo, cadj_hi) per (part, term, channel), zero-padded for parts
+    with fewer terms (a zero Shoup weight contributes exactly 0).
+    oref: SMEM u32 [2, C_slice] — the +2^63-offset correction of the
+    i=0 Barrett term. The Barrett reciprocal is c["bp"] (identical
+    definition to the engine's _barrett_pack).
+    """
+    c = _read_consts(cref, ch_off)
+    ch = pl.program_id(0)
+    p = pl.program_id(1)
+    q = u64.shr(c["q2"], 1)
+    HI = np.uint32(0x80000000)
+
+    def csub2(v):
+        over = ~u64.lt_unsigned(v, c["q2"])
+        return u64.select(over, u64.sub(v, c["q2"]), v)
+
+    s0 = (st_ref[0, 0, 0], st_ref[1, 0, 0] + HI)      # [S, R]
+    acc = csub2(u64.add(u64.barrett_2q(s0, c["bp"], q),
+                        (oref[0, ch], oref[1, ch])))
+    for i in range(1, A):
+        u_ = (st_ref[0, 0, i], st_ref[1, 0, i] + HI)
+        w = (eref[p, i - 1, 0, ch], eref[p, i - 1, 1, ch])
+        wp = (eref[p, i - 1, 2, ch], eref[p, i - 1, 3, ch])
+        cadj = (eref[p, i - 1, 4, ch], eref[p, i - 1, 5, ch])
+        e = u64.shoup_mul(u_, w, wp, q)
+        e = csub2(u64.add(e, cadj))
+        acc = csub2(u64.add(acc, e))
+    _mulacc_inv_tail(c, acc[0], acc[1], m1_ref, r1_ref, tw_ref, m2_ref,
+                     r2_ref, i1_ref, ir1_ref, itw_ref, i2_ref, ir2_ref,
+                     k0_ref, k1_ref, o0_ref, o1_ref, a0_ref, a1_ref,
+                     dA, dB, split, P, shoup_rec)
 
 
 def ntt_ksk_accum(ext, k0_full, k1_full, plan, level, part_off,
@@ -636,3 +690,112 @@ def _ksk_accum_inv_call(xv, consts, t1, r1, tw, t2, r2, k0v, k1v, plan,
     )(consts, xv, t1, r1, tw, t2, r2, i1f, ir1, itw, i2f, ir2, k0v, k1v)
     # Same multiple-consumer fusion hazard as _call (see there).
     return jax.lax.optimization_barrier((o0, o1))
+
+
+def ksk_accum_from_state(state, terms, off0, k0_full, k1_full, plan,
+                         level, part_off, C, interpret=False, ch_off=0,
+                         shoup_rec=True):
+    """Fused switch from the RAW divided-difference state: extension +
+    forward transform + ksk multiplies + part accumulation + inverse
+    transform, one kernel (_ext_mulacc_inv_kernel).
+
+    state: [2, P, A, S, R] (or [2, P, A, N/128, 128] — same element
+    order when plan.R == 128) raw per-part state rows, zero-padded on
+    the A axis. terms: u32 [P, max(A-1,1), 6, C] extension scalars
+    (already channel-sliced for this call). off0: u32 [2, C]. C: the
+    output channel count. Returns [2, C, S, R] tiled plain [0, q)
+    coefficient-domain accumulators x2."""
+    S, R = plan.S, plan.R
+    _, P, A = state.shape[:3]
+    sv = state if state.shape[3:] == (S, R) else state.reshape(
+        2, P, A, S, R)
+    t1, r1, tw, t2, r2 = _flat_tables(plan, fwd=True)
+    i1f, ir1, itw, i2f, ir2 = _flat_tables(plan, fwd=False)
+    consts = _consts_from_plan(plan)
+    if k0_full.ndim == 5:
+        k0v, k1v = k0_full, k1_full
+    else:
+        k0v = k0_full.reshape(2, k0_full.shape[1], k0_full.shape[2], R, S)
+        k1v = k1_full.reshape(2, k1_full.shape[1], k1_full.shape[2], R, S)
+    kern = functools.partial(_ext_mulacc_inv_kernel, dA=plan.dA,
+                             dB=plan.dB, split=plan.split, ch_off=ch_off,
+                             P=P, A=A, shoup_rec=shoup_rec)
+    out_shape = jax.ShapeDtypeStruct((2, C, S, R), state.dtype)
+
+    def tblspec(t):
+        return pl.BlockSpec((1,) + t.shape[1:],
+                            lambda ch, p: (ch + ch_off, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    o0, o1 = pl.pallas_call(
+        kern,
+        grid=(C, P),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, 1, A, S, R), lambda ch, p: (0, p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tblspec(t1),
+            tblspec(r1),
+            pl.BlockSpec((2, 1, S, R), lambda ch, p: (0, ch + ch_off, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tblspec(t2),
+            tblspec(r2),
+            tblspec(i1f),
+            tblspec(ir1),
+            pl.BlockSpec((2, 1, S, R), lambda ch, p: (0, ch + ch_off, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tblspec(i2f),
+            tblspec(ir2),
+            pl.BlockSpec((2, 1, 1, R, S),
+                         lambda ch, p: (0, p + part_off, ch + level, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, 1, R, S),
+                         lambda ch, p: (0, p + part_off, ch + level, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, 1, S, R), lambda ch, p: (0, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, S, R), lambda ch, p: (0, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[out_shape, out_shape],
+        scratch_shapes=[pltpu.VMEM((2, R, S), jnp.uint32),
+                        pltpu.VMEM((2, R, S), jnp.uint32)],
+        interpret=interpret,
+    )(consts, terms, off0, sv, t1, r1, tw, t2, r2,
+      i1f, ir1, itw, i2f, ir2, k0v, k1v)
+    # Same multiple-consumer fusion hazard as _call (see there).
+    return jax.lax.optimization_barrier((o0, o1))
+
+
+def dispatch_ksk_from_state(state, terms, off0, k0_full, k1_full,
+                            mxu_ref, level, part_off, W, interpret=False):
+    """ksk_accum_from_state through an MxuRef: one kernel per
+    width group, extension scalars channel-sliced per group. W: the
+    level's channel count (terms/off0 trailing axis)."""
+    if mxu_ref.groups:
+        outs0, outs1 = [], []
+        for gs, ge, gplan in mxu_ref.groups:
+            lo, hi = max(gs, level), min(ge, level + W)
+            if hi <= lo:
+                continue
+            o0, o1 = ksk_accum_from_state(
+                state, terms[..., lo - level:hi - level],
+                off0[:, lo - level:hi - level], k0_full, k1_full,
+                gplan, lo, part_off, hi - lo, interpret=interpret,
+                ch_off=lo - gs)
+            outs0.append(o0)
+            outs1.append(o1)
+        if len(outs0) == 1:
+            return outs0[0], outs1[0]
+        # The barrier is load-bearing (see _call / dispatch).
+        return jax.lax.optimization_barrier(
+            (jnp.concatenate(outs0, axis=1),
+             jnp.concatenate(outs1, axis=1)))
+    plan, off, _ = resolve_ref(mxu_ref)
+    return ksk_accum_from_state(state, terms, off0, k0_full, k1_full,
+                                plan, level, part_off, W,
+                                interpret=interpret, ch_off=off)
