@@ -276,7 +276,7 @@ def _rescale_core_shoup(d, rs_sh, bp, round_half, pack_next):
 
 
 def _mod_down_shoup(d, pack_sp, pack_ord, PiWs, bp, n_sp, C_sp,
-                    W_sp, W_ord):
+                    W_sp, W_ord, tiled=False):
     """Special-prime removal entirely in the plain domain
     (config.use_shoup_moddown): no Montgomery enter, the dropped-channel
     tile is Barrett-reduced per target channel, every P_j^{-1} multiply
@@ -287,23 +287,31 @@ def _mod_down_shoup(d, pack_sp, pack_ord, PiWs, bp, n_sp, C_sp,
 
     d: [2, W_sp, N] plain [0, q) — or [2, W_sp, T, L] already tiled
     (the fold_inverse MXU switch output; element-order-identical view,
-    kept 4-D so no layout round trip). Returns [2, W_ord, N] plain
-    [0, q).
+    kept 4-D so no layout round trip). Leading batch dims are supported
+    on either form (the batched mult: [2, B, W_sp, ...]); the channel
+    axis stays at -3 of the tiled view. Returns [2, (B,) W_ord, N]
+    plain [0, q).
     """
-    if d.ndim == 4:
-        N = d.shape[2] * d.shape[3]
+    if tiled:
+        N = d.shape[-2] * d.shape[-1]
         R = N // 128
-        if d.shape[2:] == (R, 128):
+        if d.shape[-2:] == (R, 128):
             v = (d[0], d[1])
         else:
-            v = (d[0].reshape(W_sp, R, 128), d[1].reshape(W_sp, R, 128))
+            v = (d[0].reshape(d[0].shape[:-2] + (R, 128)),
+                 d[1].reshape(d[1].shape[:-2] + (R, 128)))
     else:
-        N = d.shape[2]
+        N = d.shape[-1]
         R = N // 128
-        v = (d[0].reshape(W_sp, R, 128), d[1].reshape(W_sp, R, 128))
+        v = (d[0].reshape(d[0].shape[:-1] + (R, 128)),
+             d[1].reshape(d[1].shape[:-1] + (R, 128)))
+    lead = v[0].shape[:-3]
 
     def col(s):
         return (s[0][:, None, None], s[1][:, None, None])
+
+    def crow(t, lo, hi):
+        return t[..., lo:hi, :, :]
 
     q2 = col(pack_sp.q2)
     q = u64.shr(q2, 1)
@@ -311,7 +319,7 @@ def _mod_down_shoup(d, pack_sp, pack_ord, PiWs, bp, n_sp, C_sp,
     for P_ind in range(n_sp):
         v = jax.lax.optimization_barrier(v)
         cur = C_sp - P_ind
-        src = (v[0][cur - 1:cur], v[1][cur - 1:cur])
+        src = (crow(v[0], cur - 1, cur), crow(v[1], cur - 1, cur))
         if P_ind:
             # The dropped channel is subtracted as an INTEGER: it must be
             # the canonical [0, q) representative, but the prior Shoup
@@ -329,12 +337,13 @@ def _mod_down_shoup(d, pack_sp, pack_ord, PiWs, bp, n_sp, C_sp,
         w, wp = PiWs[P_ind]
         v = u64.shoup_mul(s, col(w), col(wp), q)    # back to [0, 2q)
     v = jax.lax.optimization_barrier(v)
-    vo = (v[0][:W_ord], v[1][:W_ord])
+    vo = (crow(v[0], 0, W_ord), crow(v[1], 0, W_ord))
     q2o = (pack_ord.q2[0][:, None, None], pack_ord.q2[1][:, None, None])
     qo = u64.shr(q2o, 1)
     lt = u64.lt_signed(vo, qo)
     r = u64.select(lt, vo, u64.sub(vo, qo))
-    return u64.pack(r[0].reshape(W_ord, N), r[1].reshape(W_ord, N))
+    return u64.pack(r[0].reshape(lead + (W_ord, N)),
+                    r[1].reshape(lead + (W_ord, N)))
 
 
 def _mod_down_tiled(d, pack_sp, pack_ord, PiRs, enter_ord, n_sp, C_sp,
@@ -394,10 +403,14 @@ def _mod_down_tiled(d, pack_sp, pack_ord, PiRs, enter_ord, n_sp, C_sp,
 @jax.jit
 def _cc_mult_core(x0, x1, y0, y1, pack):
     """(d0, d1, d2) = (x0y0, x0y1+x1y0, x1y1) in the NTT domain
-    (reference: ckks_engine.py:1090-1101)."""
+    (reference: ckks_engine.py:1090-1101). Inputs may carry leading
+    batch dims ([2, B, C, N] — the batched mult); the stack collapses
+    them into the kernel batch axis."""
     # One batched transform (B=4) instead of four separate chains — same
     # rationale as _relin_pre: one kernel launch, larger grid.
-    r = ops.enter_ntt(jnp.stack([x0, x1, y0, y1], axis=1), pack)
+    st = jnp.stack([x0, x1, y0, y1], axis=1)     # [2, 4, ..., C, N]
+    shp = st.shape
+    r = ops.enter_ntt(st.reshape((2, -1) + shp[-2:]), pack).reshape(shp)
     x0, x1, y0, y1 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
     d0 = ops.mont_mult(x0, y0, pack)
     d1 = ops.mont_add(ops.mont_mult(x0, y1, pack),
@@ -421,8 +434,12 @@ def _square_core(x0, x1, pack):
 def _relin_pre(d0, d1, d2, pack):
     # One batched transform (B=3) instead of three separate chains: fewer
     # kernel programs per compile (the TPU compile helper chokes on
-    # many-kernel programs at platinum width) and a larger grid per launch.
-    r = ops.intt_exit_reduce(jnp.stack([d0, d1, d2], axis=1), pack)
+    # many-kernel programs at platinum width) and a larger grid per
+    # launch. Leading batch dims collapse into the kernel batch axis.
+    st = jnp.stack([d0, d1, d2], axis=1)         # [2, 3, ..., C, N]
+    shp = st.shape
+    r = ops.intt_exit_reduce(st.reshape((2, -1) + shp[-2:]),
+                             pack).reshape(shp)
     return r[:, 0], r[:, 1], r[:, 2]
 
 
@@ -1253,15 +1270,21 @@ class CkksEngine:
         def pre_extend_tiled(a, start, alpha, part_pack, plan):
             """pre_extend on the [C, N/128, 128] pair view — identical op
             chain (bit-exact); the single-channel rows get full 8-sublane
-            tiles instead of T(1,128) (see config.use_tiled_extend)."""
-            a_part = a[:, start:start + alpha]
+            tiles instead of T(1,128) (see config.use_tiled_extend).
+            Leading batch dims supported (a [2, B, C, N] — the batched
+            mult): the channel axis stays at -3 of the tiled view."""
+            a_part = a[..., start:start + alpha, :]
             if exit_ntt:
                 a_part = ops.intt_exit_reduce(a_part, part_pack)
-            N = a_part.shape[2]
+            N = a_part.shape[-1]
             R = N // 128
-            v = (a_part[0].reshape(alpha, R, 128),
-                 a_part[1].reshape(alpha, R, 128))
+            lead = a_part.shape[1:-2]
+            v = (a_part[0].reshape(lead + (alpha, R, 128)),
+                 a_part[1].reshape(lead + (alpha, R, 128)))
             Y_scalar, L_scalar, _ = plan
+
+            def row_of(t, lo, hi):
+                return t[..., lo:hi, :, :]
 
             def cons(lo, hi):
                 return (part_pack.ql[lo:hi, None, None],
@@ -1272,21 +1295,23 @@ class CkksEngine:
             def scal(s):            # packed [2, k] -> pair [k, 1, 1]
                 return (s[0][:, None, None], s[1][:, None, None])
 
-            state = [(v[0][0:1], v[1][0:1])] * alpha
+            state = [(row_of(v[0], 0, 1), row_of(v[1], 0, 1))] * alpha
             for i in range(alpha - 1):
-                row = (v[0][i + 1:i + 2], v[1][i + 1:i + 2])
+                row = (row_of(v[0], i + 1, i + 2),
+                       row_of(v[1], i + 1, i + 2))
                 diff = u64.sub(row, state[i + 1])
                 Y = u64.montmul_signed(diff, scal(Y_scalar[:, i:i + 1]),
                                        *cons(i + 1, i + 2))
                 state[i + 1] = Y
                 if i + 2 < alpha:
-                    Yt = (jnp.broadcast_to(Y[0], (alpha - i - 2, R, 128)),
-                          jnp.broadcast_to(Y[1], (alpha - i - 2, R, 128)))
+                    tshape = lead + (alpha - i - 2, R, 128)
+                    Yt = (jnp.broadcast_to(Y[0], tshape),
+                          jnp.broadcast_to(Y[1], tshape))
                     new = u64.montmul_signed(Yt, scal(L_scalar[i]),
                                              *cons(i + 2, alpha))
                     for j in range(i + 2, alpha):
-                        srow = (new[0][j - i - 2:j - i - 1],
-                                new[1][j - i - 2:j - i - 1])
+                        srow = (row_of(new[0], j - i - 2, j - i - 1),
+                                row_of(new[1], j - i - 2, j - i - 1))
                         state[j] = u64.add(state[j], srow)
             return state, R
 
@@ -1372,8 +1397,11 @@ class CkksEngine:
         def mod_down(d, pack_sp, pack_ord, PiRs, enter_ord,
                      PiWs=None, bp=None):
             if config.use_shoup_moddown and PiWs is not None:
+                # >=4-D inputs are the fused MXU switch's tiled outputs
+                # ([2, (B,) W_sp, S, R]); flat inputs are 3-D.
                 return _mod_down_shoup(d, pack_sp, pack_ord, tuple(PiWs),
-                                       bp[0], n_sp, C_sp, W_sp, W_ord)
+                                       bp[0], n_sp, C_sp, W_sp, W_ord,
+                                       tiled=d.ndim >= 4)
             return mod_down_mont(d, pack_sp, pack_ord, PiRs, enter_ord)
 
         def mod_down_mont(d, pack_sp, pack_ord, PiRs, enter_ord):
@@ -1476,15 +1504,20 @@ class CkksEngine:
                 from ..ntt import mxu_pallas
 
                 A = max(alpha for _, alpha in parts_meta)
+                batched = a.ndim == 4         # [2, B, C, N] ct-batch
                 st_planes = []
                 for plane in (0, 1):
                     rows = []
                     for s in states:
                         pad = [jnp.zeros_like(s[0][plane])] * (A - len(s))
                         rows.append(jnp.concatenate(
-                            [t[plane] for t in s] + pad, axis=0))
-                    st_planes.append(jnp.stack(rows))
-                st = jnp.stack(st_planes)     # [2, P, A, N/128, 128]
+                            [t[plane] for t in s] + pad, axis=-3))
+                    st_planes.append(jnp.stack(rows, axis=-4))
+                st = jnp.stack(st_planes)
+                # [2, P, A, N/128, 128]; batched: [2, B, P, A, ., .] ->
+                # [2, B*P, A, ., .] (b-major, part-fastest segments).
+                if batched:
+                    st = st.reshape((2, -1) + st.shape[3:])
                 nterms = max(A - 1, 1)
                 trows = []
                 for idx2 in range(len(parts_meta)):
@@ -1506,11 +1539,12 @@ class CkksEngine:
                 terms = jnp.stack(trows)      # [P, nterms, 6, W_sp]
                 d0, d1 = mxu_pallas.dispatch_ksk_from_state(
                     st, terms, bp_sp[1], k0st, k1st, pack_sp.mxu, lvl,
-                    part_off, W_sp, interpret=config.pallas_interpret)
+                    part_off, W_sp, interpret=config.pallas_interpret,
+                    parts=len(parts_meta) if batched else None)
                 if not config.use_shoup_moddown:
                     # the Montgomery mod-down takes flat arrays
-                    d0 = d0.reshape(2, d0.shape[1], -1)
-                    d1 = d1.reshape(2, d1.shape[1], -1)
+                    d0 = d0.reshape(d0.shape[:-2] + (-1,))
+                    d1 = d1.reshape(d1.shape[:-2] + (-1,))
             elif (config.use_fused_switch and plan is not None
                     and pallas_ntt.supports_fused_accum(plan)):
                 # Fused kernel: [ident-canon +] NTT + both ksk multiplies
@@ -1628,17 +1662,13 @@ class CkksEngine:
         def fn(a0, a1, b0, b1, k0st, k1st, rs, rh, pack_next, plans,
                part_packs, pack_sp, PiRs, enter_ord, ident,
                PiWs, bp_sp, plans_sh):
-            if config.use_shoup_rescale:
-                # One stacked rescale (the Shoup core is batch-generic):
-                # one fusion instead of four.
-                r4 = rescale_core(jnp.stack([a0, a1, b0, b1], axis=1),
-                                  rs, rh, pack_next)
-                x0, x1, y0, y1 = r4[:, 0], r4[:, 1], r4[:, 2], r4[:, 3]
-            else:
-                x0 = rescale_core(a0, rs, rh, pack_next)
-                x1 = rescale_core(a1, rs, rh, pack_next)
-                y0 = rescale_core(b0, rs, rh, pack_next)
-                y1 = rescale_core(b1, rs, rh, pack_next)
+            # (A round-5 A/B stacked the four rescales into one call —
+            # 4.56 -> 5.49 ms/mult REGRESSION from the extra
+            # stack/unstack copies; per-array rescales stay.)
+            x0 = rescale_core(a0, rs, rh, pack_next)
+            x1 = rescale_core(a1, rs, rh, pack_next)
+            y0 = rescale_core(b0, rs, rh, pack_next)
+            y1 = rescale_core(b1, rs, rh, pack_next)
             d0, d1, d2 = _cc_mult_core(x0, x1, y0, y1, pack_next)
             d0, d1, d2 = _relin_pre(d0, d1, d2, pack_next)
             s0, s1 = switch(d2, k0st, k1st, plans, part_packs,
@@ -1707,42 +1737,31 @@ class CkksEngine:
             ct_mult = self.relinearize(ct_mult, evk)
         return ct_mult
 
-    def _mult_batched_fn(self, level: int, B: int):
-        """vmap of the fused mult program over a ciphertext-batch axis
-        (axis 1 of each data array, after the limb axis). One program,
-        one launch wave for B independent mult+relin+rescales — the MXU
-        and the kernel grids see B times the work per dispatch, which
-        recovers the utilization a single C~19-channel ct cannot reach.
-        TPU-native answer to "stream more work": batch the jit, don't
-        queue more dispatches."""
-        key = ("mult_batched", level, B)
-        if key in self._switcher_cache:
-            return self._switcher_cache[key]
-        base = self._mult_fused_fn(level).__wrapped__
-        n_data = 4
-        n_rest = 14
-        vfn = jax.jit(jax.vmap(base,
-                               in_axes=(1,) * n_data + (None,) * n_rest,
-                               out_axes=1))
-        self._switcher_cache[key] = vfn
-        return vfn
-
     def mult_batched(self, cts_a, cts_b, evk: DataStruct):
         """Batched ct-ct multiply + relinearize + rescale: B independent
-        pairs through ONE vmapped fused program. All inputs must sit at
-        one common level. Returns a list of B ciphertexts.
+        pairs through ONE fused program whose every stage is natively
+        ct-batched — the kernels see B× the grid per launch (the switch
+        runs grid (C, B*P) with segmented part accumulation), the
+        pointwise chains process [2, B, C, N] stacks, and the MXU tables
+        stream once per channel for the whole batch. All inputs must sit
+        at one common level. Returns a list of B ciphertexts.
 
         Reference has no batched API (it loops host-side,
         ckks_engine.py:1072-1151); this is the throughput-mode entry for
-        TPU serving."""
+        TPU serving.
+
+        (A round-5 jax.vmap formulation lost 0.59x to sequential mults —
+        vmap prepends the batch as the OUTERMOST kernel grid axis, so
+        every batch element re-streams the MXU tables; the native batch
+        axes here keep them VMEM-resident.)"""
         if len(cts_a) != len(cts_b) or not cts_a:
             raise errors.DifferentTypeError(a=len(cts_a), b=len(cts_b))
-        if not self._use_fused_mult():
-            # platinum-width composed path: no batched program (compile
-            # size); callers loop single mults there.
-            outs = [self.cc_mult(a, b, evk)
+        if not (self._use_fused_mult() and self._mxu_fused_switch()
+                and config.use_shoup_moddown and config.use_shoup_rescale):
+            # Paths without batch-generic stages (platinum-width composed
+            # path, non-MXU backends, Montgomery chains): loop.
+            return [self.cc_mult(a, b, evk)
                     for a, b in zip(cts_a, cts_b)]
-            return outs
         level = cts_a[0].level
         for ct in (*cts_a, *cts_b):
             if ct.level != level:
@@ -1762,7 +1781,10 @@ class CkksEngine:
         a1 = jnp.stack([c.data[1] for c in cts_a], axis=1)
         b0 = jnp.stack([c.data[0] for c in cts_b], axis=1)
         b1 = jnp.stack([c.data[1] for c in cts_b], axis=1)
-        fn = self._mult_batched_fn(level, B)
+        # The same jitted program as the single mult — every stage is
+        # batch-generic, so jit just re-specializes on the [2, B, C, N]
+        # shapes.
+        fn = self._mult_fused_fn(level)
         c0, c1 = fn(a0, a1, b0, b1,
                     k0st, k1st, self._rescale_args(level),
                     self.round_halves[level], self.pack(nxt, -1),

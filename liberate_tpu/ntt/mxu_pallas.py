@@ -433,12 +433,16 @@ def _mulacc_kernel(cref, x_ref, m1_ref, r1_ref, tw_ref, m2_ref, r2_ref,
 def _mulacc_inv_tail(c, lo, hi, m1_ref, r1_ref, tw_ref, m2_ref, r2_ref,
                      i1_ref, ir1_ref, itw_ref, i2_ref, ir2_ref,
                      k0_ref, k1_ref, o0_ref, o1_ref, a0_ref, a1_ref,
-                     dA, dB, split, P, shoup_rec):
+                     dA, dB, split, P, shoup_rec, out_rank4=False):
     """Shared tail of the fold-inverse switch kernels: forward
     transform of (lo, hi) [S, R], ksk multiplies, part-axis VMEM-scratch
     accumulation, and — on the last part — the inverse transform +
-    plain reduce of the accumulators."""
-    p = pl.program_id(1)
+    plain reduce of the accumulators.
+
+    Grid axis 1 may run over a ct-batch of part segments (bp = b*P + p):
+    accumulation restarts at every p == bp % P == 0 and folds at
+    p == P - 1, so B independent switches stream through one kernel."""
+    p = pl.program_id(1) % P
     d = _digits_k(lo, hi, dB)
     E = _matmul_s8(m1_ref[0], d) + r1_ref[0]
     b = _recombine_k(E, c, dA, split, shoup_rec)
@@ -485,8 +489,12 @@ def _mulacc_inv_tail(c, lo, hi, m1_ref, r1_ref, tw_ref, m2_ref, r2_ref,
             q = u64.shr(c["q2"], 1)
             lt = u64.lt_unsigned(r, q)
             r = u64.select(lt, r, u64.sub(r, q))
-            o_ref[0, 0] = r[0]
-            o_ref[1, 0] = r[1]
+            if out_rank4:          # [2, B, C, S, R] blocks (ct-batched)
+                o_ref[0, 0, 0] = r[0]
+                o_ref[1, 0, 0] = r[1]
+            else:                  # [2, C, S, R] blocks
+                o_ref[0, 0] = r[0]
+                o_ref[1, 0] = r[1]
 
 
 def _mulacc_inv_kernel(cref, x_ref, m1_ref, r1_ref, tw_ref, m2_ref,
@@ -525,7 +533,7 @@ def _ext_mulacc_inv_kernel(cref, eref, oref, st_ref, m1_ref, r1_ref,
     """
     c = _read_consts(cref, ch_off)
     ch = pl.program_id(0)
-    p = pl.program_id(1)
+    p = pl.program_id(1) % P        # part within the ct segment
     q = u64.shr(c["q2"], 1)
     HI = np.uint32(0x80000000)
 
@@ -547,7 +555,7 @@ def _ext_mulacc_inv_kernel(cref, eref, oref, st_ref, m1_ref, r1_ref,
     _mulacc_inv_tail(c, acc[0], acc[1], m1_ref, r1_ref, tw_ref, m2_ref,
                      r2_ref, i1_ref, ir1_ref, itw_ref, i2_ref, ir2_ref,
                      k0_ref, k1_ref, o0_ref, o1_ref, a0_ref, a1_ref,
-                     dA, dB, split, P, shoup_rec)
+                     dA, dB, split, P, shoup_rec, out_rank4=True)
 
 
 def ntt_ksk_accum(ext, k0_full, k1_full, plan, level, part_off,
@@ -694,7 +702,7 @@ def _ksk_accum_inv_call(xv, consts, t1, r1, tw, t2, r2, k0v, k1v, plan,
 
 def ksk_accum_from_state(state, terms, off0, k0_full, k1_full, plan,
                          level, part_off, C, interpret=False, ch_off=0,
-                         shoup_rec=True):
+                         shoup_rec=True, parts=None):
     """Fused switch from the RAW divided-difference state: extension +
     forward transform + ksk multiplies + part accumulation + inverse
     transform, one kernel (_ext_mulacc_inv_kernel).
@@ -704,11 +712,19 @@ def ksk_accum_from_state(state, terms, off0, k0_full, k1_full, plan,
     the A axis. terms: u32 [P, max(A-1,1), 6, C] extension scalars
     (already channel-sliced for this call). off0: u32 [2, C]. C: the
     output channel count. Returns [2, C, S, R] tiled plain [0, q)
-    coefficient-domain accumulators x2."""
+    coefficient-domain accumulators x2.
+
+    BATCHED form (``parts`` given): state's axis 1 holds B*parts
+    segments (bp = b*parts + p); the kernel restarts accumulation at
+    every segment boundary and writes per-ct outputs — B independent
+    switches in ONE kernel launch, grid (C, B*parts). Returns
+    [2, B, C, S, R] x 2."""
     S, R = plan.S, plan.R
-    _, P, A = state.shape[:3]
+    _, BP, A = state.shape[:3]
+    P = BP if parts is None else parts
+    B = BP // P
     sv = state if state.shape[3:] == (S, R) else state.reshape(
-        2, P, A, S, R)
+        2, BP, A, S, R)
     t1, r1, tw, t2, r2 = _flat_tables(plan, fwd=True)
     i1f, ir1, itw, i2f, ir2 = _flat_tables(plan, fwd=False)
     consts = _consts_from_plan(plan)
@@ -720,7 +736,7 @@ def ksk_accum_from_state(state, terms, off0, k0_full, k1_full, plan,
     kern = functools.partial(_ext_mulacc_inv_kernel, dA=plan.dA,
                              dB=plan.dB, split=plan.split, ch_off=ch_off,
                              P=P, A=A, shoup_rec=shoup_rec)
-    out_shape = jax.ShapeDtypeStruct((2, C, S, R), state.dtype)
+    out_shape = jax.ShapeDtypeStruct((2, B, C, S, R), state.dtype)
 
     def tblspec(t):
         return pl.BlockSpec((1,) + t.shape[1:],
@@ -729,7 +745,7 @@ def ksk_accum_from_state(state, terms, off0, k0_full, k1_full, plan,
 
     o0, o1 = pl.pallas_call(
         kern,
-        grid=(C, P),
+        grid=(C, BP),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -749,16 +765,20 @@ def ksk_accum_from_state(state, terms, off0, k0_full, k1_full, plan,
             tblspec(i2f),
             tblspec(ir2),
             pl.BlockSpec((2, 1, 1, R, S),
-                         lambda ch, p: (0, p + part_off, ch + level, 0, 0),
+                         lambda ch, p: (0, p % P + part_off,
+                                        ch + level, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 1, 1, R, S),
-                         lambda ch, p: (0, p + part_off, ch + level, 0, 0),
+                         lambda ch, p: (0, p % P + part_off,
+                                        ch + level, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((2, 1, S, R), lambda ch, p: (0, ch, 0, 0),
+            pl.BlockSpec((2, 1, 1, S, R),
+                         lambda ch, p: (0, p // P, ch, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 1, S, R), lambda ch, p: (0, ch, 0, 0),
+            pl.BlockSpec((2, 1, 1, S, R),
+                         lambda ch, p: (0, p // P, ch, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[out_shape, out_shape],
@@ -768,14 +788,20 @@ def ksk_accum_from_state(state, terms, off0, k0_full, k1_full, plan,
     )(consts, terms, off0, sv, t1, r1, tw, t2, r2,
       i1f, ir1, itw, i2f, ir2, k0v, k1v)
     # Same multiple-consumer fusion hazard as _call (see there).
-    return jax.lax.optimization_barrier((o0, o1))
+    o0, o1 = jax.lax.optimization_barrier((o0, o1))
+    if parts is None:
+        return o0[:, 0], o1[:, 0]
+    return o0, o1
 
 
 def dispatch_ksk_from_state(state, terms, off0, k0_full, k1_full,
-                            mxu_ref, level, part_off, W, interpret=False):
+                            mxu_ref, level, part_off, W, interpret=False,
+                            parts=None):
     """ksk_accum_from_state through an MxuRef: one kernel per
     width group, extension scalars channel-sliced per group. W: the
-    level's channel count (terms/off0 trailing axis)."""
+    level's channel count (terms/off0 trailing axis). parts: see
+    ksk_accum_from_state (ct-batched segments)."""
+    cat_axis = 1 if parts is None else 2
     if mxu_ref.groups:
         outs0, outs1 = [], []
         for gs, ge, gplan in mxu_ref.groups:
@@ -786,16 +812,17 @@ def dispatch_ksk_from_state(state, terms, off0, k0_full, k1_full,
                 state, terms[..., lo - level:hi - level],
                 off0[:, lo - level:hi - level], k0_full, k1_full,
                 gplan, lo, part_off, hi - lo, interpret=interpret,
-                ch_off=lo - gs)
+                ch_off=lo - gs, parts=parts)
             outs0.append(o0)
             outs1.append(o1)
         if len(outs0) == 1:
             return outs0[0], outs1[0]
         # The barrier is load-bearing (see _call / dispatch).
         return jax.lax.optimization_barrier(
-            (jnp.concatenate(outs0, axis=1),
-             jnp.concatenate(outs1, axis=1)))
+            (jnp.concatenate(outs0, axis=cat_axis),
+             jnp.concatenate(outs1, axis=cat_axis)))
     plan, off, _ = resolve_ref(mxu_ref)
     return ksk_accum_from_state(state, terms, off0, k0_full, k1_full,
                                 plan, level, part_off, W,
-                                interpret=interpret, ch_off=off)
+                                interpret=interpret, ch_off=off,
+                                parts=parts)

@@ -270,3 +270,40 @@ def test_group_dispatch_multi_consumer_jit():
         config.use_mxu_pallas = True
         config.use_pallas = None
         config.pallas_interpret = False
+
+
+def test_engine_batched_mult_native_path():
+    """mult_batched through the NATIVE ct-batched kernels (segmented
+    part accumulation, grid (C, B*P)) — bit-exact with per-pair mults
+    under the same MXU interpret config."""
+    import liberate_tpu
+    from liberate_tpu import config
+
+    config.use_mxu_ntt = True
+    config.use_mxu_pallas = True
+    config.use_pallas = True
+    config.pallas_interpret = True
+    try:
+        eng = liberate_tpu.CkksEngine(logN=9, scale_bits=40, num_scales=3,
+                                      num_special_primes=2,
+                                      is_secured=False, seed=29)
+        assert eng._mxu_fused_switch()
+        sk = eng.create_secret_key()
+        pk = eng.create_public_key(sk)
+        evk = eng.create_evk(sk)
+        msgs = [eng.example(amin=-1, amax=1) for _ in range(4)]
+        cts = [eng.encorypt(m, pk) for m in msgs]
+        outs = eng.mult_batched([cts[0], cts[2]], [cts[1], cts[3]], evk)
+        for i, (a, b) in enumerate(((0, 1), (2, 3))):
+            single = eng.mult(cts[a], cts[b], evk)
+            for got, want in zip(outs[i].data, single.data):
+                np.testing.assert_array_equal(np.asarray(got),
+                                              np.asarray(want))
+            err = abs(eng.absmax_error(eng.decrode(outs[i], sk),
+                                       msgs[a] * msgs[b]))
+            assert abs(err) < 1e-4
+    finally:
+        config.use_mxu_ntt = None
+        config.use_mxu_pallas = True
+        config.use_pallas = None
+        config.pallas_interpret = False
