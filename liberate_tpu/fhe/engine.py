@@ -1771,30 +1771,60 @@ class CkksEngine:
         if nxt >= self.num_levels:
             raise errors.MaximumLevelError(level=level,
                                            level_max=self.num_levels)
-        B = len(cts_a)
+        out = self.mult_stacked(self.stack_cts(cts_a),
+                                self.stack_cts(cts_b), evk)
+        return self.unstack_ct(out)
+
+    def stack_cts(self, cts) -> DataStruct:
+        """Stack B same-level double ciphertexts into ONE batched
+        DataStruct with [2, B, C, N] data — the zero-dispatch-overhead
+        form for the batched APIs (stack once, then every wave of
+        mult_stacked / add / sub is a single program dispatch)."""
+        level = cts[0].level
+        c0 = jnp.stack([c.data[0] for c in cts], axis=1)
+        c1 = jnp.stack([c.data[1] for c in cts], axis=1)
+        return DataStruct((c0, c1), cts[0].include_special,
+                          cts[0].ntt_state, cts[0].montgomery_state,
+                          cts[0].origin, level, self.hash)
+
+    def unstack_ct(self, ct: DataStruct):
+        """Split a batched DataStruct back into B ciphertexts."""
+        B = ct.data[0].shape[1]
+        return [DataStruct(tuple(d[:, i] for d in ct.data),
+                           ct.include_special, ct.ntt_state,
+                           ct.montgomery_state, ct.origin, ct.level,
+                           self.hash)
+                for i in range(B)]
+
+    def mult_stacked(self, ct_a: DataStruct, ct_b: DataStruct,
+                     evk: DataStruct) -> DataStruct:
+        """Batched mult on STACKED ciphertexts (see stack_cts): one
+        program dispatch for B mult+relin+rescales. The engine's
+        pointwise ops (add/sub/decrypt cores) are batch-generic, so the
+        result composes with them directly."""
+        level = ct_a.level
+        nxt = level + 1
+        if nxt >= self.num_levels:
+            raise errors.MaximumLevelError(level=level,
+                                           level_max=self.num_levels)
         parts = self.ntt.parts(nxt)
         plans = tuple((p.Y_scalar, p.L_scalar, p.L_enter) for p in parts)
         plans_sh = tuple(p.L_enter_sh for p in parts)
         part_packs = tuple(p.pack for p in parts)
         k0st, k1st = self._ksk_stacked(evk)
-        a0 = jnp.stack([c.data[0] for c in cts_a], axis=1)
-        a1 = jnp.stack([c.data[1] for c in cts_a], axis=1)
-        b0 = jnp.stack([c.data[0] for c in cts_b], axis=1)
-        b1 = jnp.stack([c.data[1] for c in cts_b], axis=1)
         # The same jitted program as the single mult — every stage is
         # batch-generic, so jit just re-specializes on the [2, B, C, N]
         # shapes.
         fn = self._mult_fused_fn(level)
-        c0, c1 = fn(a0, a1, b0, b1,
+        c0, c1 = fn(ct_a.data[0], ct_a.data[1], ct_b.data[0], ct_b.data[1],
                     k0st, k1st, self._rescale_args(level),
                     self.round_halves[level], self.pack(nxt, -1),
                     plans, part_packs, self.pack(nxt, -2),
                     tuple(self.PiRs[nxt]), self.enter_ord[nxt],
                     self.mont_identity[nxt], tuple(self.PiWs[nxt]),
                     self.bp_sp[nxt], plans_sh)
-        return [DataStruct((c0[:, i], c1[:, i]), False, False, False,
-                           types.origins["ct"], nxt, self.hash)
-                for i in range(B)]
+        return DataStruct((c0, c1), False, False, False,
+                          types.origins["ct"], nxt, self.hash)
 
     def square(self, ct: DataStruct, evk: DataStruct, relin=True) -> DataStruct:
         x = self.rescale(ct)

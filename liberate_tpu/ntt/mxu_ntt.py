@@ -370,10 +370,20 @@ class MxuRef:
     ...) over GLOBAL channel indices, with per-group digit parameters
     (width_groups) — consumed by the fused Pallas kernels
     (mxu_pallas.dispatch); empty means uniform word-size digits only.
+
+    ``mesh``/``mesh_axis``: set on 1-D rns-mesh refs whose table arrays
+    are CHANNEL-SHARDED over the mesh — mxu_pallas.dispatch then runs
+    the fused kernels per-shard under jax.shard_map (like
+    pallas_ntt._sharded_transform). ``on_mesh`` marks any mesh-sliced
+    ref (including replicated non-divisible layouts, where the kernels
+    cannot run and dispatch falls back to the XLA einsums).
     """
     plan: MxuPlan
     idx: tuple
     groups: tuple = ()
+    mesh: object = None
+    mesh_axis: str = "rns"
+    on_mesh: bool = False
 
     def resolve(self) -> MxuPlan:
         if tuple(self.idx) == tuple(range(self.plan.ql.shape[0])):
@@ -383,14 +393,16 @@ class MxuRef:
     def tree_flatten(self):
         gplans = tuple(g[2] for g in self.groups)
         gbounds = tuple((g[0], g[1]) for g in self.groups)
-        return ((self.plan, gplans), (tuple(self.idx), gbounds))
+        return ((self.plan, gplans),
+                (tuple(self.idx), gbounds, self.mesh, self.mesh_axis,
+                 self.on_mesh))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        idx, gbounds = aux
+        idx, gbounds, mesh, mesh_axis, on_mesh = aux
         plan, gplans = children
         groups = tuple((b[0], b[1], p) for b, p in zip(gbounds, gplans))
-        return cls(plan, idx, groups)
+        return cls(plan, idx, groups, mesh, mesh_axis, on_mesh)
 
 
 jax.tree_util.register_pytree_node(

@@ -271,11 +271,55 @@ def _flat_tables(plan, fwd, enter=False, exitx=False):
     return flat(m1), flat_rs(r1), tw, flat(m2), flat_rs(r2)
 
 
+def _sharded_dispatch(a, mxu_ref, inverse, interpret, kw):
+    """Run the fused kernels per-shard under jax.shard_map: the data's
+    channel axis (-2) and every plan leaf's channel axis live on the
+    ref's mesh axis (the 1-D rns-mesh plans are eagerly channel-sliced
+    and sharded — ntt_context._maybe_mxu_ref); each chip transforms its
+    local channel block with its local tables. Mirrors
+    pallas_ntt._sharded_transform."""
+    from jax.sharding import PartitionSpec as P
+
+    from . import mxu_ntt
+
+    mesh, ax = mxu_ref.mesh, mxu_ref.mesh_axis
+    plan = mxu_ref.plan
+    leaves, aux = plan.tree_flatten()
+
+    def leaf_spec(name, x):
+        c_ax = 1 if name in mxu_ntt._C_AXIS1 else 0
+        return P(*([None] * c_ax), ax, *([None] * (x.ndim - c_ax - 1)))
+
+    names = mxu_ntt._ARRAY_FIELDS
+    data_spec = P(*([None] * (a.ndim - 2)), ax, None)
+    f = intt_no_norm_factor if inverse else ntt
+
+    def body(a_l, leaves_l):
+        lp = type(plan).tree_unflatten(aux, leaves_l)
+        return f(a_l, lp, interpret=interpret, **kw)
+
+    # check_vma=False: pallas_call's out_shape carries no vma annotation.
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(data_spec,
+                  tuple(leaf_spec(n, x) for n, x in zip(names, leaves))),
+        out_specs=data_spec, check_vma=False)(a, leaves)
+
+
 def dispatch(a, mxu_ref, inverse=False, interpret=False, **kw):
     """Transform through an MxuRef: width-grouped plans when available
     (per-group digit parameters — 40-bit scale primes run dA=dB=6), one
     pallas_call per contiguous group, block-offset table indexing.
-    ``kw``: variant flags (enter / exitx / post_reduce / shoup_rec)."""
+    ``kw``: variant flags (enter / exitx / post_reduce / shoup_rec).
+
+    Mesh refs: channel-sharded plans run per-shard under shard_map
+    (_sharded_dispatch). Replicated (non-divisible) mesh layouts must
+    not reach here — ops.py's mxu_kernels_ok() routes them to the XLA
+    einsum composition (GSPMD cannot partition a pallas_call and the
+    kernels' static block offsets cannot follow a dynamic shard
+    index)."""
+    if mxu_ref.mesh is not None:
+        return _sharded_dispatch(a, mxu_ref, inverse, interpret, kw)
     f = intt_no_norm_factor if inverse else ntt
     idx = tuple(mxu_ref.idx)
     contig = idx == tuple(range(idx[0], idx[0] + len(idx)))

@@ -332,7 +332,10 @@ class NttContext:
         plan = mxu_ntt.plan_from_dict(
             kw, place(self._ql, 0), place(self._qh, 0),
             place(self._kl, 0), place(self._kh, 0), place(self._q2, 1))
-        return mxu_ntt.MxuRef(plan, tuple(range(idx.size)))
+        return mxu_ntt.MxuRef(
+            plan, tuple(range(idx.size)),
+            mesh=self.mesh if shard else None,
+            mesh_axis=self.mesh_axis, on_mesh=True)
 
     def _mxu_master_tables(self, ch_lo=None, ch_hi=None, dA=None, dB=None,
                            tag="u"):

@@ -284,6 +284,19 @@ def _stage_banks(N: int):
     return banks
 
 
+def mxu_kernels_ok(ref) -> bool:
+    """Whether the fused Pallas MXU kernels can serve this ref: flags on,
+    and either single-chip or a channel-SHARDED mesh plan (which runs
+    per-shard under shard_map). Replicated non-divisible mesh layouts
+    take the XLA einsum composition instead — GSPMD cannot partition a
+    pallas_call."""
+    from .. import config
+
+    if not (config.use_mxu_pallas and config.pallas_enabled()):
+        return False
+    return (not ref.on_mesh) or ref.mesh is not None
+
+
 def ntt(a, pack, signed=False):
     """Forward negacyclic NTT over [2, C, N]; preserves Montgomery domain.
 
@@ -310,7 +323,7 @@ def ntt(a, pack, signed=False):
 
         if signed:
             a = make_unsigned(a, pack)
-        if config.use_mxu_pallas and config.pallas_enabled():
+        if mxu_kernels_ok(pack.mxu):
             from . import mxu_pallas
 
             return mxu_pallas.dispatch(a, pack.mxu,
@@ -391,7 +404,7 @@ def intt(a, pack, signed=False):
             a = make_unsigned(a, pack)
         # N^{-1} is folded into the MXU stage-2 table (plain, which equals
         # the classic path's Montgomery Ninv multiply after REDC).
-        if config.use_mxu_pallas and config.pallas_enabled():
+        if mxu_kernels_ok(pack.mxu):
             from . import mxu_pallas
 
             return mxu_pallas.dispatch(a, pack.mxu, inverse=True,
@@ -419,7 +432,7 @@ def enter_ntt(a, pack):
     if pack.mxu is not None:
         from .. import config
 
-        if config.use_mxu_pallas and config.pallas_enabled():
+        if mxu_kernels_ok(pack.mxu):
             from . import mxu_pallas
 
             # Montgomery enter folded into the stage-1 tables: the
@@ -446,7 +459,7 @@ def intt_exit(a, pack, signed=False):
     if pack.mxu is not None:
         from .. import config
 
-        if config.use_mxu_pallas and config.pallas_enabled():
+        if mxu_kernels_ok(pack.mxu):
             from . import mxu_pallas
 
             if signed:
@@ -479,7 +492,7 @@ def intt_exit_reduce(a, pack, signed=False):
     if pack.mxu is not None:
         from .. import config
 
-        if config.use_mxu_pallas and config.pallas_enabled():
+        if mxu_kernels_ok(pack.mxu):
             from . import mxu_pallas
 
             if signed:
@@ -511,7 +524,7 @@ def intt_reduce(a, pack):
     if pack.mxu is not None:
         from .. import config
 
-        if config.use_mxu_pallas and config.pallas_enabled():
+        if mxu_kernels_ok(pack.mxu):
             from . import mxu_pallas
 
             return mxu_pallas.dispatch(a, pack.mxu, inverse=True,

