@@ -828,6 +828,8 @@ def ksk_accum_from_state(state, terms, off0, k0_full, k1_full, plan,
         out_shape=[out_shape, out_shape],
         scratch_shapes=[pltpu.VMEM((2, R, S), jnp.uint32),
                         pltpu.VMEM((2, R, S), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(consts, terms, off0, sv, t1, r1, tw, t2, r2,
       i1f, ir1, itw, i2f, ir2, k0v, k1v)
