@@ -22,6 +22,7 @@ from liberate_tpu import config
 
 config.use_mxu_ntt = True
 config.use_mxu_pallas = True
+config.use_shoup_ksk = False   # probe the Montgomery-ksk kernel path
 
 
 def main():

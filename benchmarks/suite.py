@@ -74,7 +74,10 @@ def _bench_mult_verified(eng, cts, msgs, evk, sk, iters, tol=1e-3):
         state["acc"], state["K"] = acc, K
         return acc.data
 
-    benchtime.sync(chain(1))
+    # Warm with K=2, not 1: chain(1) never calls eng.add, so a K=1
+    # warmup leaves the add program to compile INSIDE the timed region
+    # and the differenced time goes negative (see benchmarks/ab_tiled.py).
+    benchtime.sync(chain(2))
     best = benchtime.diff_time(chain, max(1, iters // 4), iters, trials=2)
     want = sum(msgs[(2 * i) % n] * msgs[(2 * i + 1) % n]
                for i in range(state["K"]))

@@ -140,6 +140,17 @@ use_shoup_moddown = True
 # channel and the scalar multiply in Shoup form.
 use_shoup_rescale = True
 
+# use_shoup_ksk: store the key-switching key stacks for the fused MXU
+# switch in SHOUP form — plain values w = REDC(k_mont) plus precomputed
+# quotients wp = floor(w*2^64/q) (u64.shoup_quotient, one-time ~64-step
+# device division at key prep) — so the kernel's two ksk products are
+# Shoup constant-multiplies instead of Montgomery REDCs (~2.4x cheaper
+# per multiply on the VPU; same values mod q, different [0, 2q) lazy
+# representatives). Costs 2x ksk bytes streamed per switch, which
+# overlaps the compute the multiplies no longer do. Only affects the
+# single-chip fused MXU switch path (engine _ksk_stacked).
+use_shoup_ksk = True
+
 # use_shoup_extend: the key-switch basis extension emits PLAIN-domain
 # [0, 2q) unsigned outputs (divided-difference terms are offset by 2^63
 # and corrected with a per-channel constant instead of running the

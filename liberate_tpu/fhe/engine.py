@@ -1195,8 +1195,30 @@ class CkksEngine:
             # mults). The kernel consumes this form directly.
             S = 1 << ((self.ctx.logN + 1) // 2)
             R = self.ctx.N // S
-            k0 = jnp.asarray(k0.reshape(2, k0.shape[1], k0.shape[2], R, S))
-            k1 = jnp.asarray(k1.reshape(2, k1.shape[1], k1.shape[2], R, S))
+
+            def tile5(t):
+                return t.reshape(2, t.shape[1], t.shape[2], R, S)
+
+            if config.use_shoup_ksk:
+                # Shoup form: plain values + precomputed quotients, so
+                # the kernel's two ksk products skip the Montgomery
+                # REDC (config.use_shoup_ksk). One-time device long
+                # division per key (u64.shoup_quotient).
+                pack0 = self.pack(0, -2)
+                qp = u64.shr((pack0.q2[0][:, None],
+                              pack0.q2[1][:, None]), 1)
+
+                @jax.jit
+                def shoup(k):
+                    w = ops.reduce_2q(ops.mont_redc(k, pack0), pack0)
+                    wp = u64.shoup_quotient((w[0], w[1]), qp)
+                    return (tile5(w), tile5(u64.pack(*wp)))
+
+                k0 = shoup(k0)
+                k1 = shoup(k1)
+            else:
+                k0 = jnp.asarray(tile5(k0))
+                k1 = jnp.asarray(tile5(k1))
         self._ksk_stacked_cache[ksk] = (k0, k1)
         if len(self._ksk_stacked_cache) > 16:
             self._ksk_stacked_cache.popitem(last=False)

@@ -364,3 +364,28 @@ def montredc(a, ql, qh, kl, kh):
     res = add(sqbh, mul32_wide(sh, qh))
     res = add_u32(res, carry2)
     return res
+
+
+def shoup_quotient(x, q):
+    """Elementwise floor(x * 2^64 / q) for 0 <= x < q < 2^63, by 64-step
+    binary long division on the limb pairs. Device-friendly (a
+    lax.fori_loop of ~15 vector ops per step) — used once per key to
+    precompute Shoup quotients for the key-switching tables
+    (config.use_shoup_ksk); hot paths never run this.
+
+    x, q: broadcast-compatible limb pairs. Returns a limb pair.
+    """
+    import jax
+
+    def body(_, st):
+        r_lo, r_hi, w_lo, w_hi = st
+        r = shl((r_lo, r_hi), 1)
+        ge = ~lt_unsigned(r, q)
+        r = select(ge, sub(r, q), r)
+        w = shl((w_lo, w_hi), 1)
+        return (r[0], r[1], w[0] | ge.astype(jnp.uint32), w[1])
+
+    z = jnp.zeros_like(x[0] | x[1])
+    st = jax.lax.fori_loop(
+        0, 64, body, (x[0] | z, x[1] | z, z, z))
+    return (st[2], st[3])
