@@ -46,6 +46,8 @@ CONFIGS = {
     # Shoup-form pointwise chains OFF (round-4 A/B; they default on).
     "noshoupchains": {"use_shoup_moddown": False, "use_shoup_rescale": False,
                       "use_shoup_extend": False},
+    # Montgomery ksk in the fused MXU switch (round-5 A/B).
+    "noshoupksk": {"use_shoup_ksk": False},
 }
 
 

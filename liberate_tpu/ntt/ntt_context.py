@@ -294,6 +294,14 @@ class NttContext:
 
         if not config.mxu_enabled():
             return None
+        if config.use_mxu_ntt is None and self.logN >= 17:
+            # Auto mode skips platinum: the logN=17 kernels' per-channel
+            # stage-1 tables are 16 MB (dA*S x dB*S s8 at S=512) — the
+            # enter-transform kernel's live set exceeds the 64 MiB
+            # scoped-VMEM cap and the full master set costs multiple GB
+            # of HBM. The VPU butterfly kernels serve platinum;
+            # explicitly setting use_mxu_ntt=True overrides.
+            return None
         if self.coef_axis is not None:
             return None   # 2-D meshes: the coef plans own the transform
         from . import mxu_ntt
