@@ -1559,6 +1559,30 @@ class CkksEngine:
                             irows.append(jnp.zeros((6, W_sp), jnp.uint32))
                     trows.append(jnp.stack(irows))
                 terms = jnp.stack(trows)      # [P, nterms, 6, W_sp]
+                md_ok = (config.use_shoup_moddown
+                         and isinstance(k0st, tuple) and n_sp > 0)
+                if md_ok:
+                    # Fold the Shoup special-prime removal into the
+                    # kernels too: the special-holding width group runs
+                    # first, iterates + exports the dropped-channel
+                    # rows, and every ordinary channel leaves its kernel
+                    # FULLY mod-downed — no XLA mod-down fusions, no
+                    # full-width d0/d1 round trip.
+                    piw = jnp.stack(
+                        [jnp.concatenate([w, wp], axis=0)
+                         for (w, wp) in PiWs], axis=0)  # [n_sp, 4, W_sp]
+                    d0, d1 = mxu_pallas.dispatch_ksk_from_state(
+                        st, terms, bp_sp[1], k0st, k1st, pack_sp.mxu,
+                        lvl, part_off, W_sp,
+                        interpret=config.pallas_interpret,
+                        parts=len(parts_meta) if batched else None,
+                        moddown_piw=piw, n_sp=n_sp)
+                    d0 = d0[:, :, :W_ord]
+                    d1 = d1[:, :, :W_ord]
+                    if not batched:
+                        d0, d1 = d0[:, 0], d1[:, 0]
+                    return (d0.reshape(d0.shape[:-2] + (-1,)),
+                            d1.reshape(d1.shape[:-2] + (-1,)))
                 d0, d1 = mxu_pallas.dispatch_ksk_from_state(
                     st, terms, bp_sp[1], k0st, k1st, pack_sp.mxu, lvl,
                     part_off, W_sp, interpret=config.pallas_interpret,

@@ -115,8 +115,7 @@ def _recombine_k(E, c, dA, split, shoup_rec):
     return s
 
 
-def _read_consts(cref, ch_off=0):
-    ch = pl.program_id(0) + ch_off
+def _read_consts_at(cref, ch):
     return {
         "ql": cref[0, ch], "qh": cref[1, ch],
         "kl": cref[2, ch], "kh": cref[3, ch],
@@ -128,6 +127,10 @@ def _read_consts(cref, ch_off=0):
         "wphi": (cref[14, ch], cref[15, ch]),
         "corr": (cref[16, ch], cref[17, ch]),
     }
+
+
+def _read_consts(cref, ch_off=0):
+    return _read_consts_at(cref, pl.program_id(0) + ch_off)
 
 
 def _matmul_s8(table, d):
@@ -488,7 +491,7 @@ def _mulacc_inv_tail(c, lo, hi, m1_ref, r1_ref, tw_ref, m2_ref, r2_ref,
                      i1_ref, ir1_ref, itw_ref, i2_ref, ir2_ref,
                      k0_ref, k1_ref, o0_ref, o1_ref, a0_ref, a1_ref,
                      dA, dB, split, P, shoup_rec, out_rank4=False,
-                     k0wp_ref=None, k1wp_ref=None):
+                     k0wp_ref=None, k1wp_ref=None, fold_cb=None):
     """Shared tail of the fold-inverse switch kernels: forward
     transform of (lo, hi) [S, R], ksk multiplies, part-axis VMEM-scratch
     accumulation, and — on the last part — the inverse transform +
@@ -540,7 +543,8 @@ def _mulacc_inv_tail(c, lo, hi, m1_ref, r1_ref, tw_ref, m2_ref, r2_ref,
 
     @pl.when(p == P - 1)
     def _fold_inverse():
-        for acc_ref, o_ref in ((a0_ref, o0_ref), (a1_ref, o1_ref)):
+        for half, (acc_ref, o_ref) in enumerate(((a0_ref, o0_ref),
+                                                 (a1_ref, o1_ref))):
             ilo, ihi = acc_ref[0], acc_ref[1]          # [R(k1), S(k2)]
             di = _digits_k(ilo, ihi, dB)
             Ei = _matmul_s8(i1_ref[0], di) + ir1_ref[0]
@@ -554,6 +558,11 @@ def _mulacc_inv_tail(c, lo, hi, m1_ref, r1_ref, tw_ref, m2_ref, r2_ref,
             q = u64.shr(c["q2"], 1)
             lt = u64.lt_unsigned(r, q)
             r = u64.select(lt, r, u64.sub(r, q))
+            if fold_cb is not None:
+                # mod-down fold: may transform r (ordinary channels) and
+                # stash/export special-channel rows; returns the value to
+                # write (see _moddown_cbs).
+                r = fold_cb(c, half, r)
             if out_rank4:          # [2, B, C, S, R] blocks (ct-batched)
                 o_ref[0, 0, 0] = r[0]
                 o_ref[1, 0, 0] = r[1]
@@ -803,9 +812,129 @@ def _ext_mulacc_inv_kernel_sk(cref, eref, oref, st_ref, m1_ref, r1_ref,
                      k0wp_ref=k0wp_ref, k1wp_ref=k1wp_ref)
 
 
+def _make_md_kernel(mode, n_sp, dA, dB, split, ch_off, P, A, C_loc,
+                    shoup_rec=True):
+    """Build the extension+transform+switch+inverse kernel with the
+    Shoup MOD-DOWN folded in as well (config.use_shoup_moddown +
+    use_shoup_ksk). Two variants:
+
+    - mode='special': the width group holding the special primes. The
+      grid is REINDEXED so the dropped channels run first (grid ch k <
+      n_sp -> actual channel C_loc-1-k, in drop order); their reduced
+      inverse outputs are iterated in VMEM scratch into the canonical
+      src rows, exported through an extra output for the other groups,
+      and this group's ordinary channels apply the n_sp removal steps
+      before writing — their rows leave the kernel FULLY mod-downed.
+    - mode='ordinary': other groups; consumes the exported src rows.
+
+    Same values mod q as engine._mod_down_shoup (the per-step
+    canonicalization differs in lazy representatives for n_sp > 2;
+    decode-level equivalence is pinned by the engine tests)."""
+
+    def amap(ch):
+        if mode != "special":
+            return ch
+        return jnp.where(ch < n_sp, C_loc - 1 - ch, ch - n_sp)
+
+    def kernel(*refs):
+        if mode == "special":
+            (cref, eref, oref, piw_ref, st_ref, m1_ref, r1_ref, tw_ref,
+             m2_ref, r2_ref, i1_ref, ir1_ref, itw_ref, i2_ref, ir2_ref,
+             k0_ref, k0wp_ref, k1_ref, k1wp_ref,
+             o0_ref, o1_ref, srcs_ref, a0_ref, a1_ref, scr_ref) = refs
+        else:
+            (cref, eref, oref, piw_ref, srcs_in, st_ref, m1_ref, r1_ref,
+             tw_ref, m2_ref, r2_ref, i1_ref, ir1_ref, itw_ref, i2_ref,
+             ir2_ref, k0_ref, k0wp_ref, k1_ref, k1wp_ref,
+             o0_ref, o1_ref, a0_ref, a1_ref) = refs
+        ch = pl.program_id(0)
+        ach = amap(ch)
+        c = _read_consts_at(cref, ach + ch_off)
+        p = pl.program_id(1) % P
+        b = pl.program_id(1) // P
+        q = u64.shr(c["q2"], 1)
+        HI = np.uint32(0x80000000)
+
+        def csub2(v):
+            over = ~u64.lt_unsigned(v, c["q2"])
+            return u64.select(over, u64.sub(v, c["q2"]), v)
+
+        s0 = (st_ref[0, 0, 0], st_ref[1, 0, 0] + HI)
+        acc = csub2(u64.add(u64.barrett_2q(s0, c["bp"], q),
+                            (oref[0, ach], oref[1, ach])))
+        for i in range(1, A):
+            u_ = (st_ref[0, 0, i], st_ref[1, 0, i] + HI)
+            w = (eref[p, i - 1, 0, ach], eref[p, i - 1, 1, ach])
+            wp = (eref[p, i - 1, 2, ach], eref[p, i - 1, 3, ach])
+            cadj = (eref[p, i - 1, 4, ach], eref[p, i - 1, 5, ach])
+            e = u64.shoup_mul(u_, w, wp, q)
+            e = csub2(u64.add(e, cadj))
+            acc = csub2(u64.add(acc, e))
+
+        def md_iter(v, src, j):
+            # one removal step, engine _mod_down_shoup op for op
+            w = (piw_ref[j, 0, ach], piw_ref[j, 1, ach])
+            wp = (piw_ref[j, 2, ach], piw_ref[j, 3, ach])
+            tile = u64.barrett_2q(src, c["bp"], q)
+            s = u64.sub(u64.add(v, c["q2"]), tile)
+            return u64.shoup_mul(s, w, wp, q)     # [0, 2q)
+
+        def reduce_q(v):
+            lt = u64.lt_unsigned(v, q)
+            return u64.select(lt, v, u64.sub(v, q))
+
+        def fold_cb(c_, half, r):
+            if mode == "ordinary":
+                v = r
+                for j in range(n_sp):
+                    src = (srcs_in[0, 0, half * n_sp + j],
+                           srcs_in[1, 0, half * n_sp + j])
+                    v = md_iter(v, src, j)
+                return reduce_q(v)
+            # special group: stash the iterated dropped-channel rows
+            for k in range(n_sp):
+                @pl.when(ch == k)
+                def _(k=k):
+                    v = r
+                    for j in range(k):
+                        src = (scr_ref[half * n_sp + j, 0, b],
+                               scr_ref[half * n_sp + j, 1, b])
+                        v = reduce_q(md_iter(v, src, j))
+                    scr_ref[half * n_sp + k, 0, b] = v[0]
+                    scr_ref[half * n_sp + k, 1, b] = v[1]
+            # EVERY cell re-exports the (b, half) src rows from scratch:
+            # output blocks flush unconditionally on revisit, so an
+            # unwritten revisit would flush stale VMEM over good data.
+            # Early special cells export not-yet-written scratch rows;
+            # the LAST channel's flush per b is complete and wins.
+            for jj in range(n_sp):
+                srcs_ref[0, 0, half * n_sp + jj] = \
+                    scr_ref[half * n_sp + jj, 0, b]
+                srcs_ref[1, 0, half * n_sp + jj] = \
+                    scr_ref[half * n_sp + jj, 1, b]
+            # this group's ordinary channels apply the removal inline
+            v = r
+            for j in range(n_sp):
+                src = (scr_ref[half * n_sp + j, 0, b],
+                       scr_ref[half * n_sp + j, 1, b])
+                v = md_iter(v, src, j)
+            v = reduce_q(v)
+            is_ord = ch >= n_sp
+            return u64.select(is_ord, v, r)
+
+        _mulacc_inv_tail(c, acc[0], acc[1], m1_ref, r1_ref, tw_ref,
+                         m2_ref, r2_ref, i1_ref, ir1_ref, itw_ref,
+                         i2_ref, ir2_ref, k0_ref, k1_ref, o0_ref, o1_ref,
+                         a0_ref, a1_ref, dA, dB, split, P, shoup_rec,
+                         out_rank4=True, k0wp_ref=k0wp_ref,
+                         k1wp_ref=k1wp_ref, fold_cb=fold_cb)
+
+    return kernel, amap
+
+
 def ksk_accum_from_state(state, terms, off0, k0_full, k1_full, plan,
                          level, part_off, C, interpret=False, ch_off=0,
-                         shoup_rec=True, parts=None):
+                         shoup_rec=True, parts=None, moddown=None):
     """Fused switch from the RAW divided-difference state: extension +
     forward transform + ksk multiplies + part accumulation + inverse
     transform, one kernel (_ext_mulacc_inv_kernel).
@@ -843,6 +972,11 @@ def ksk_accum_from_state(state, terms, off0, k0_full, k1_full, plan,
             ks = [x.reshape(2, x.shape[1], x.shape[2], R, S)
                   for x in (k0_full, k1_full)]
         kern_fn = _ext_mulacc_inv_kernel
+    if moddown is not None:
+        assert shoup_ksk, "moddown fold requires use_shoup_ksk"
+        return _ksk_from_state_md_call(
+            sv, terms, off0, ks, plan, level, part_off, C, B, P, A,
+            ch_off, shoup_rec, interpret, moddown)
     kern = functools.partial(kern_fn, dA=plan.dA,
                              dB=plan.dB, split=plan.split, ch_off=ch_off,
                              P=P, A=A, shoup_rec=shoup_rec)
@@ -902,13 +1036,146 @@ def ksk_accum_from_state(state, terms, off0, k0_full, k1_full, plan,
     return o0, o1
 
 
+def _ksk_from_state_md_call(sv, terms, off0, ks, plan, level, part_off,
+                            C, B, P, A, ch_off, shoup_rec, interpret,
+                            moddown):
+    """pallas_call wrapper for the mod-down-folded switch kernels
+    (_make_md_kernel). moddown: dict(mode=, n_sp=, piw=[n_sp,4,C] SMEM
+    scalars, srcs=input rows for mode='ordinary'). Returns
+    (o0, o1[, srcs]) — o* are [2, B, C, S, R]; ordinary-channel rows
+    are FULLY mod-downed, special rows raw (dropped by the caller)."""
+    mode = moddown["mode"]
+    n_sp = moddown["n_sp"]
+    piw = moddown["piw"]
+    S, R = plan.S, plan.R
+    t1, r1, tw, t2, r2 = _flat_tables(plan, fwd=True)
+    i1f, ir1, itw, i2f, ir2 = _flat_tables(plan, fwd=False)
+    consts = _consts_from_plan(plan)
+    kern, amap = _make_md_kernel(mode, n_sp, plan.dA, plan.dB, plan.split,
+                                 ch_off, P, A, C, shoup_rec=shoup_rec)
+
+    def tblspec(t):
+        return pl.BlockSpec((1,) + t.shape[1:],
+                            lambda ch, p: (amap(ch) + ch_off, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    twspec = pl.BlockSpec((2, 1, S, R),
+                          lambda ch, p: (0, amap(ch) + ch_off, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((2, 1, 1, R, S),
+                         lambda ch, p: (0, p % P + part_off,
+                                        amap(ch) + level, 0, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),     # consts
+        pl.BlockSpec(memory_space=pltpu.SMEM),     # terms
+        pl.BlockSpec(memory_space=pltpu.SMEM),     # off0
+        pl.BlockSpec(memory_space=pltpu.SMEM),     # piw
+    ]
+    args = [consts, terms, off0, piw]
+    if mode == "ordinary":
+        in_specs.append(pl.BlockSpec(
+            (2, 1, 2 * n_sp, S, R), lambda ch, p: (0, p // P, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+        args.append(moddown["srcs"])
+    in_specs += [
+        pl.BlockSpec((2, 1, A, S, R), lambda ch, p: (0, p, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        tblspec(t1), tblspec(r1), twspec, tblspec(t2), tblspec(r2),
+        tblspec(i1f), tblspec(ir1),
+        pl.BlockSpec((2, 1, S, R),
+                     lambda ch, p: (0, amap(ch) + ch_off, 0, 0),
+                     memory_space=pltpu.VMEM),
+        tblspec(i2f), tblspec(ir2),
+    ] + [kspec] * len(ks)
+    args += [sv, t1, r1, tw, t2, r2, i1f, ir1, itw, i2f, ir2] + ks
+
+    out_shape = [jax.ShapeDtypeStruct((2, B, C, S, R), sv.dtype)] * 2
+    out_specs = [
+        pl.BlockSpec((2, 1, 1, S, R),
+                     lambda ch, p: (0, p // P, amap(ch), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, 1, 1, S, R),
+                     lambda ch, p: (0, p // P, amap(ch), 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    scratch = [pltpu.VMEM((2, R, S), jnp.uint32),
+               pltpu.VMEM((2, R, S), jnp.uint32)]
+    if mode == "special":
+        out_shape.append(
+            jax.ShapeDtypeStruct((2, B, 2 * n_sp, S, R), sv.dtype))
+        out_specs.append(pl.BlockSpec(
+            (2, 1, 2 * n_sp, S, R), lambda ch, p: (0, p // P, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+        scratch.append(pltpu.VMEM((2 * n_sp, 2, B, S, R), jnp.uint32))
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(C, B * P),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(*args)
+    # Same multiple-consumer fusion hazard as _call (see there).
+    return jax.lax.optimization_barrier(tuple(outs))
+
+
 def dispatch_ksk_from_state(state, terms, off0, k0_full, k1_full,
                             mxu_ref, level, part_off, W, interpret=False,
-                            parts=None):
+                            parts=None, moddown_piw=None, n_sp=0):
     """ksk_accum_from_state through an MxuRef: one kernel per
     width group, extension scalars channel-sliced per group. W: the
     level's channel count (terms/off0 trailing axis). parts: see
-    ksk_accum_from_state (ct-batched segments)."""
+    ksk_accum_from_state (ct-batched segments).
+
+    moddown_piw ([n_sp, 4, W] SMEM scalars): ALSO fold the Shoup
+    special-prime removal into the kernels (_make_md_kernel) — the
+    group holding the special primes runs first and exports the
+    iterated dropped-channel rows to the other groups; returns
+    [2, B, W, S, R] x 2 with the ordinary rows fully mod-downed
+    (special rows raw; slice them off). Requires Shoup-ksk operands."""
+    if moddown_piw is not None:
+        if mxu_ref.groups:
+            glist = [(gs, ge, gp) for gs, ge, gp in mxu_ref.groups
+                     if min(ge, level + W) > max(gs, level)]
+        else:
+            # contiguous master ref: table channel == global channel, so
+            # the span starts at 0 (ch_off = level - 0)
+            plan0, off0_ch, _ = resolve_ref(mxu_ref)
+            glist = [(level - off0_ch, level + W, plan0)]
+        # the special primes are the LAST channels: their group has the
+        # maximal hi
+        sp_i = max(range(len(glist)), key=lambda i: glist[i][1])
+        outs = [None] * len(glist)
+        order = [sp_i] + [i for i in range(len(glist)) if i != sp_i]
+        srcs = None
+        for i in order:
+            gs, ge, gplan = glist[i]
+            lo, hi = max(gs, level), min(ge, level + W)
+            md = {"mode": "special" if i == sp_i else "ordinary",
+                  "n_sp": n_sp,
+                  "piw": moddown_piw[..., lo - level:hi - level]}
+            if i != sp_i:
+                md["srcs"] = srcs
+            res = ksk_accum_from_state(
+                state, terms[..., lo - level:hi - level],
+                off0[:, lo - level:hi - level], k0_full, k1_full,
+                gplan, lo, part_off, hi - lo, interpret=interpret,
+                ch_off=lo - gs, parts=parts, moddown=md)
+            if i == sp_i:
+                o0, o1, srcs = res
+            else:
+                o0, o1 = res
+            outs[i] = (o0, o1)
+        if len(outs) == 1:
+            return outs[0]
+        return jax.lax.optimization_barrier(
+            (jnp.concatenate([o[0] for o in outs], axis=2),
+             jnp.concatenate([o[1] for o in outs], axis=2)))
     cat_axis = 1 if parts is None else 2
     if mxu_ref.groups:
         outs0, outs1 = [], []
