@@ -161,23 +161,6 @@ def main():
         emit("gold_mult_relin_rescale",
              _bench_mult_verified(eng_g, [g1, g2], [mg1, mg2], evk_g, sk_g,
                                   iters))
-        # Platinum is opt-OUT (VERDICT r4 #7: all four presets are
-        # first-class in the bench record). First compile ~10 min,
-        # persistently cached after.
-        if not os.environ.get("LIBERATE_TPU_BENCH_NO_PLATINUM"):
-            eng_p = liberate_tpu.CkksEngine(seed=1, logN=17, scale_bits=40,
-                                            num_special_primes=6,
-                                            is_secured=False)
-            sk_p = eng_p.create_secret_key()
-            pk_p = eng_p.create_public_key(sk_p)
-            evk_p = eng_p.create_evk(sk_p)
-            mp1 = eng_p.example(amin=-1, amax=1)
-            mp2 = eng_p.example(amin=-1, amax=1)
-            p1 = eng_p.encorypt(mp1, pk_p)
-            p2 = eng_p.encorypt(mp2, pk_p)
-            emit("platinum_mult_relin_rescale",
-                 _bench_mult_verified(eng_p, [p1, p2], [mp1, mp2], evk_p,
-                                      sk_p, iters))
 
     # -- 5. multiparty: collective pk + threshold decrypt (3 parties) -------
     sks = [eng.create_secret_key() for _ in range(3)]
@@ -232,6 +215,35 @@ def main():
                       "value": True, "unit": "bool",
                       "absmax_error": float(err.real)
                       if hasattr(err, "real") else float(err)}), flush=True)
+
+    # -- 2c. platinum mult, LAST with everything else freed: a logN=17
+    # engine + keys needs most of HBM (the round-5 first attempt OOMed
+    # with bronze/silver/gold engines still alive). Opt-OUT
+    # (VERDICT r4 #7: all four presets are first-class in the record);
+    # first compile ~10 min, persistently cached after.
+    if on_tpu and not os.environ.get("LIBERATE_TPU_BENCH_NO_PLATINUM"):
+        import gc
+
+        del eng, sk, pk, evk, gk, ct, ct2, cts_b, eng_s, sk_s, pk_s
+        del evk_s, c1, c2, eng_g, sk_g, pk_g, evk_g, g1, g2, sks, pks
+        del cpk, ctm
+        _DEFERRED_CHECKS.clear()   # holds engines/cts; already verified
+        gc.collect()
+        eng_p = liberate_tpu.CkksEngine(seed=1, logN=17, scale_bits=40,
+                                        num_special_primes=6,
+                                        is_secured=False)
+        sk_p = eng_p.create_secret_key()
+        pk_p = eng_p.create_public_key(sk_p)
+        evk_p = eng_p.create_evk(sk_p)
+        mp1 = eng_p.example(amin=-1, amax=1)
+        mp2 = eng_p.example(amin=-1, amax=1)
+        p1 = eng_p.encorypt(mp1, pk_p)
+        p2 = eng_p.encorypt(mp2, pk_p)
+        it_p = max(2, iters // 2)
+        sec = _bench_mult_verified(eng_p, [p1, p2], [mp1, mp2], evk_p,
+                                   sk_p, it_p)
+        emit("platinum_mult_relin_rescale", sec)
+        _run_deferred_checks()
 
 
 if __name__ == "__main__":
