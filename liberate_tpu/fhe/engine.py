@@ -1559,8 +1559,13 @@ class CkksEngine:
                             irows.append(jnp.zeros((6, W_sp), jnp.uint32))
                     trows.append(jnp.stack(irows))
                 terms = jnp.stack(trows)      # [P, nterms, 6, W_sp]
+                # logN <= 15: at gold (S = R = 256) the md kernel's
+                # scratch + src blocks push the live set 232 KB past the
+                # 64 MiB scoped-VMEM cap; gold runs the separate Shoup
+                # mod-down instead.
                 md_ok = (config.use_shoup_moddown
-                         and isinstance(k0st, tuple) and n_sp > 0)
+                         and isinstance(k0st, tuple) and n_sp > 0
+                         and self.ctx.logN <= 15)
                 if md_ok:
                     # Fold the Shoup special-prime removal into the
                     # kernels too: the special-holding width group runs
